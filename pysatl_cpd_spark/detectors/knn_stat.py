@@ -1,0 +1,126 @@
+"""kNN two-sample statistic CPD (parity: reference knn_algorithm.py +
+knn/classifier.py:64-138, re-derived as O(n^2) vectorized numpy).
+
+The reference builds a k-nearest-neighbour graph per window and, for every
+candidate split t, z-scores the count of graph edges crossing the split
+against its hypergeometric expectation/variance (Chen & Zhang 2015). The
+reference evaluates each split with fresh Python loops (O(n^3+) total); here
+the split-crossing edge counts for *all* t are produced at once with a
+difference-array + cumsum trick, and the t-independent graph invariants
+(mutual-neighbour count, shared-neighbour count) are matrix expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import numpy.typing as npt
+
+from pysatl_cpd_spark.detectors.classification import threshold_overcome
+
+FloatArray = npt.NDArray[np.float64]
+
+
+def _pairwise_distances(
+    window: FloatArray, metric: Optional[Callable[[FloatArray, FloatArray], float]]
+) -> FloatArray:
+    x = np.asarray(window, dtype=np.float64)
+    if x.ndim == 1:
+        x = x.reshape(-1, 1)
+    if metric is None:
+        sq = (x**2).sum(axis=1)
+        d2 = sq[:, None] - 2.0 * x @ x.T + sq[None, :]
+        return np.sqrt(np.maximum(d2, 0.0))
+    n = x.shape[0]
+    d = np.empty((n, n))
+    for i in range(n):
+        for j in range(n):
+            d[i, j] = metric(x[i], x[j])
+    return d
+
+
+def knn_neighbour_matrix(
+    window: FloatArray,
+    k: int,
+    metric: Optional[Callable[[FloatArray, FloatArray], float]] = None,
+) -> npt.NDArray[np.bool_]:
+    """M[i, j] = True iff j is among the k nearest neighbours of i (self
+    excluded). Euclidean by default; pass ``metric`` for custom distances."""
+    d = _pairwise_distances(window, metric)
+    n = d.shape[0]
+    np.fill_diagonal(d, np.inf)
+    k_eff = min(k, n - 1)
+    nearest = np.argpartition(d, k_eff - 1, axis=1)[:, :k_eff]
+    m = np.zeros((n, n), dtype=bool)
+    m[np.arange(n)[:, None], nearest] = True
+    return m
+
+
+class KnnCpd:
+    """Change-point detector from the normalized cross-split edge-count
+    statistic of the kNN graph."""
+
+    def __init__(
+        self,
+        threshold: float,
+        indent_coeff: float = 0.25,
+        k: int = 7,
+        metric: Optional[Callable[[FloatArray, FloatArray], float]] = None,
+    ) -> None:
+        self._threshold = threshold
+        self._indent = indent_coeff
+        self._k = k
+        self._metric = metric
+
+    def assess_all(self, window: FloatArray) -> FloatArray:
+        """Statistic value for every split t in [0, n) (edges counted on the
+        identity permutation); -k where the statistic is undefined."""
+        x = np.asarray(window, dtype=np.float64)
+        n = x.shape[0]
+        k = self._k
+        if n <= k:
+            return np.full(n, -float(k))
+
+        m = knn_neighbour_matrix(x, k, self._metric)
+        mf = m.astype(np.float64)
+
+        # t-independent invariants of the graph
+        sum_1 = float((mf * mf.T).sum()) / n
+        # suffix-sums over rows per column: S[j, i] = sum_{m > j} M[m, i]
+        suffix = np.flip(np.cumsum(np.flip(mf, axis=0), axis=0), axis=0) - mf
+        sum_2 = (2.0 * float((mf * suffix).sum()) + float(mf.sum())) / n
+
+        # cross-split count s(t) for all t at once: each (i, j) edge-weight
+        # W[i,j]=M[i,j]+M[j,i] contributes to t in [min(i,j), max(i,j))
+        w = mf + mf.T
+        iu, ju = np.triu_indices(n, 1)
+        weights = w[iu, ju]
+        diff = np.zeros(n + 1)
+        np.add.at(diff, iu, 2.0 * weights)
+        np.subtract.at(diff, ju, 2.0 * weights)
+        s = np.cumsum(diff[:n])
+
+        t = np.arange(n, dtype=np.float64)
+        n1, n2 = t, n - t
+        expectation = 4.0 * k * n1 * n2 / (n - 1)
+        h = 4.0 * (n1 - 1.0) * (n2 - 1.0) / ((n - 2.0) * (n - 3.0))
+        variance = (expectation / k) * (
+            h * (sum_1 + k - 2.0 * k**2 / (n - 1)) + (1.0 - h) * (sum_2 - k**2)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stat = -(s - expectation) / np.sqrt(variance)
+        return np.where((variance <= 0) | ~np.isfinite(stat), -float(k), stat)
+
+    def localize(self, window: FloatArray) -> list[int]:
+        x = np.asarray(window, dtype=np.float64)
+        n = x.shape[0]
+        if n == 0:
+            return []
+        first = int(n * self._indent)
+        last = int(n * (1 - self._indent))
+        assessments = self.assess_all(x)[first:last].tolist()
+        return [cp + first for cp in threshold_overcome(assessments, self._threshold)]
+
+    def detect(self, window: FloatArray) -> int:
+        return len(self.localize(window))

@@ -1,0 +1,95 @@
+"""Vectorized special functions (scipy is not available in this environment).
+
+Implements the log-gamma function via the classic 6-term Lanczos approximation
+(Lanczos 1964; popularized in Numerical Recipes) and, on top of it, the
+Student-t and Lomax probability densities that the Bayesian conjugate
+likelihoods need:
+
+  - reference GaussianConjugate uses ``scipy.stats.t.pdf``
+    (/root/reference/pysatl_cpd/core/algorithms/bayesian/likelihoods/gaussian_conjugate.py:112)
+  - reference ExponentialConjugate uses ``scipy.stats.lomax.pdf``
+    (.../likelihoods/exponential_conjugate.py:70)
+
+Relative accuracy of this lgamma is ~2e-10, far inside the reference test
+suite's localization tolerance (±25 index positions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import numpy.typing as npt
+
+# Lanczos (g=5, n=6) coefficients — public constants.
+_LANCZOS_COEF = np.array(
+    [
+        76.18009172947146,
+        -86.50532032941677,
+        24.01409824083091,
+        -1.231739572450155,
+        0.1208650973866179e-2,
+        -0.5395239384953e-5,
+    ]
+)
+_SQRT_2PI = 2.5066282746310005
+
+
+def lgamma(x: npt.ArrayLike) -> npt.NDArray[np.float64]:
+    """Natural log of the gamma function for x > 0, vectorized."""
+    x = np.asarray(x, dtype=np.float64)
+    shape = x.shape
+    x = x.ravel()
+    tmp = x + 5.5
+    tmp = (x + 0.5) * np.log(tmp) - tmp
+    ser = 1.000000000190015 + np.sum(
+        _LANCZOS_COEF[:, None] / (x[None, :] + np.arange(1, 7)[:, None]), axis=0
+    )
+    return (tmp + np.log(_SQRT_2PI * ser / x)).reshape(shape)
+
+
+def student_t_pdf(
+    x: npt.ArrayLike,
+    df: npt.ArrayLike,
+    loc: npt.ArrayLike = 0.0,
+    scale: npt.ArrayLike = 1.0,
+) -> npt.NDArray[np.float64]:
+    """Student-t density with location/scale, vectorized over any argument."""
+    x = np.asarray(x, dtype=np.float64)
+    df = np.asarray(df, dtype=np.float64)
+    scale = np.asarray(scale, dtype=np.float64)
+    z = (x - np.asarray(loc, dtype=np.float64)) / scale
+    log_norm = lgamma((df + 1.0) / 2.0) - lgamma(df / 2.0) - 0.5 * np.log(df * np.pi)
+    log_pdf = log_norm - ((df + 1.0) / 2.0) * np.log1p(z * z / df) - np.log(scale)
+    return np.exp(log_pdf)
+
+
+def lomax_pdf(
+    x: npt.ArrayLike,
+    c: npt.ArrayLike,
+    scale: npt.ArrayLike,
+) -> npt.NDArray[np.float64]:
+    """Lomax (Pareto-II, loc=0) density: c/scale * (1 + x/scale)^(-c-1).
+
+    Matches scipy.stats.lomax.pdf semantics the reference relies on:
+    x < 0 → 0.0; non-positive scale → NaN (the caller maps NaN → 0, mirroring
+    the reference's nan_to_num at exponential_conjugate.py:77-79).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    scale = np.asarray(scale, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pdf = c / scale * np.power(1.0 + x / scale, -c - 1.0)
+        pdf = np.where(x < 0, 0.0, pdf)
+        pdf = np.where(scale <= 0, np.nan, pdf)
+    return np.asarray(pdf, dtype=np.float64)
+
+
+def norm_pdf(
+    x: npt.ArrayLike,
+    loc: npt.ArrayLike = 0.0,
+    scale: npt.ArrayLike = 1.0,
+) -> npt.NDArray[np.float64]:
+    """Normal density, vectorized."""
+    x = np.asarray(x, dtype=np.float64)
+    scale = np.asarray(scale, dtype=np.float64)
+    z = (x - np.asarray(loc, dtype=np.float64)) / scale
+    return np.exp(-0.5 * z * z) / (_SQRT_2PI * scale)
