@@ -1,38 +1,977 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory over the driver's
+parquet tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible operator (CPD detectors are non-SQL-expressible → rows-only).
+
+Cross-engine float policy: any aggregate that sums doubles across rows is
+computed on integer-scaled values (``round(x * 10^k)`` per element, exact
+bigint sums, divide back) so Spark's partial-aggregation order and DuckDB's
+segment-tree window order produce bit-identical results.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational / rollup / gap-fill queries (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    disc_price = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    charge = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 10000
+    ).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_price) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge) / 10000.0).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) / 10000.0 AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg((F.sum(rev) / 10000.0).alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+Q6_SQL = """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) / 10000.0 AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 25
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pipeline: customer ⋈ orders ⋈ lineitem with group-agg + top-k."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _rollup_events(spark: SparkSession, sf_dir: str, trunc: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    scaled = F.round(F.col("value") * 100).cast("long")
+    ts_val = F.struct(F.col("ts"), scaled.alias("v"))
+    return (
+        ev.groupBy("event_type", F.date_trunc(trunc, "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (F.sum(scaled) / 100.0).alias("sum_value"),
+            (F.min(ts_val).getField("v") / 100.0).alias("first_value"),
+            (F.max(ts_val).getField("v") / 100.0).alias("last_value"),
+        )
+    )
+
+
+def _rollup_sql(trunc: str) -> str:
+    return f"""
+SELECT event_type, date_trunc('{trunc}', ts) AS bucket,
+       count(*) AS n_points,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       arg_min(CAST(round(value * 100) AS BIGINT), ts) / 100.0 AS first_value,
+       arg_max(CAST(round(value * 100) AS BIGINT), ts) / 100.0 AS last_value
+FROM events
+GROUP BY event_type, date_trunc('{trunc}', ts)
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap splits sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(run))
+    scaled = F.round(F.col("value") * 100).cast("long")
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.sum(scaled) / 100.0).alias("session_value"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT *,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+               OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS session_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "rnk", "event_id", "value")
+    )
+
+
+TOPK_SQL = """
+SELECT user_id, rnk, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3
+"""
+
+
+def inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived series op: per-user inter-event gap (the turn-rate analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)
+    return (
+        ev.select(
+            "user_id",
+            (F.row_number().over(w) - 1).alias("t"),
+            gap.alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+
+
+GAPS_SQL = """
+SELECT user_id, t, gap_s FROM (
+  SELECT user_id,
+         row_number() OVER w - 1 AS t,
+         epoch(ts) - lag(epoch(ts)) OVER w AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) WHERE gap_s IS NOT NULL
+"""
+
+
+def cusum_scores_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side CUSUM (closed form, no UDF): integer-scaled running stats."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, 0)
+    dev = F.round((F.col("value") - F.lit(10.5)) * 100).cast("long")  # mu0=10, k=0.5
+    c_pos = F.sum(dev).over(run)
+    df = (
+        ev.withColumn("t", F.row_number().over(w) - 1)
+        .withColumn("c_pos", c_pos)
+        .withColumn(
+            "cusum_pos",
+            (F.col("c_pos") - F.least(F.min("c_pos").over(run), F.lit(0))) / 100.0,
+        )
+    )
+    return df.select("user_id", "t", "cusum_pos")
+
+
+CUSUM_SQL = """
+SELECT user_id, t, (c_pos - least(min(c_pos) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING), 0)) / 100.0 AS cusum_pos
+FROM (
+  SELECT user_id,
+         row_number() OVER w - 1 AS t,
+         sum(CAST(round((value - 10.5) * 100) AS BIGINT)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS c_pos
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+"""
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill on the 1h grid per event_type: LOCF + linear interpolation."""
+    ev = _t(spark, sf_dir, "events")
+    bucketed = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg((F.sum(F.round(F.col("value") * 100).cast("long")) / F.count(F.lit(1)) / 100.0).alias("value"))
+    )
+    extent = bucketed.groupBy("event_type").agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = extent.select(
+        "event_type",
+        F.explode(F.sequence("_lo", "_hi", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    g = grid.join(bucketed, ["event_type", "bucket"], "left")
+    back = W.partitionBy("event_type").orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.partitionBy("event_type").orderBy("bucket").rowsBetween(0, W.unboundedFollowing)
+    ts = F.col("bucket").cast("timestamp").cast("double")
+    prev_val = F.last("value", ignorenulls=True).over(back)
+    next_val = F.first("value", ignorenulls=True).over(fwd)
+    prev_ts = F.last(F.when(F.col("value").isNotNull(), ts), ignorenulls=True).over(back)
+    next_ts = F.first(F.when(F.col("value").isNotNull(), ts), ignorenulls=True).over(fwd)
+    frac = (ts - prev_ts) / (next_ts - prev_ts)
+    interp = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        F.when(prev_val.isNull(), next_val)
+        .when(next_val.isNull(), prev_val)
+        .otherwise(prev_val + (next_val - prev_val) * frac)
+    )
+    return (
+        g.withColumn("value_locf", prev_val)
+        .withColumn("value_interp", interp)
+        .select("event_type", "bucket", "value", "value_locf", "value_interp")
+    )
+
+
+GAPFILL_SQL = """
+WITH bucketed AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(CAST(round(value * 100) AS BIGINT)) / count(*) / 100.0 AS value
+  FROM events GROUP BY 1, 2
+), extent AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM bucketed GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM extent
+), g AS (
+  SELECT grid.event_type, grid.bucket, bucketed.value
+  FROM grid LEFT JOIN bucketed USING (event_type, bucket)
+), filled AS (
+  SELECT event_type, bucket, value,
+    last_value(value IGNORE NULLS) OVER back AS value_locf,
+    last_value(value IGNORE NULLS) OVER back AS prev_val,
+    first_value(value IGNORE NULLS) OVER fwd AS next_val,
+    last_value(CASE WHEN value IS NOT NULL THEN epoch(bucket) END IGNORE NULLS) OVER back AS prev_ts,
+    first_value(CASE WHEN value IS NOT NULL THEN epoch(bucket) END IGNORE NULLS) OVER fwd AS next_ts
+  FROM g
+  WINDOW back AS (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+         fwd AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket, value, value_locf,
+  CASE WHEN value IS NOT NULL THEN value
+       WHEN prev_val IS NULL THEN next_val
+       WHEN next_val IS NULL THEN prev_val
+       ELSE prev_val + (next_val - prev_val) * (epoch(bucket) - prev_ts) / (next_ts - prev_ts)
+  END AS value_interp
+FROM filled
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity queries (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_id FROM (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+) GROUP BY fp HAVING count(*) > 1
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.functions.text import (
+        char_count,
+        punct_ratio,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars"),
+        F.round(punct_ratio(F.col("text")), 9).alias("punct_ratio"),
+    )
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+  CASE WHEN length(sq) = 0 THEN 0
+       ELSE length(sq) - length(replace(sq, ' ', '')) + 1 END AS n_tokens,
+  length(text) AS n_chars,
+  round(CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+            / length(text) END, 9) AS punct_ratio
+FROM (SELECT doc_id, text, regexp_replace(trim(text), '\\s+', ' ', 'g') AS sq FROM documents)
+"""
+
+
+def token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.operators.dedup import token_jaccard_pairs
+
+    return token_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6).select(
+        "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+JACCARD_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t(token)
+  WHERE length(t.token) > 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 9) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.6
+"""
+
+
+def embeddings_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 10, integer-scaled dot
+    products so both engines sum exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 10000000).cast("long")
+    )
+    base = emb.select("vec_id", scaled.alias("sv"))
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("sv").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("sv", "qv", lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda v: v * v), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dot", dot)
+        .withColumn("cosine", F.round(F.col("dot") / F.sqrt(norm("sv").cast("double") * norm("qv").cast("double")), 9))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+COSINE_SQL = """
+WITH scaled AS (
+  SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) FOR x IN embedding] AS sv
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, sv AS qv FROM scaled WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         round(list_sum([s.sv[i] * q.qv[i] FOR i IN range(1, len(s.sv) + 1)]) /
+         sqrt(CAST(list_sum([x * x FOR x IN s.sv]) AS DOUBLE) *
+              CAST(list_sum([x * x FOR x IN q.qv]) AS DOUBLE)), 9) AS cosine
+  FROM scaled s CROSS JOIN q WHERE s.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-function MinHash signature per doc over word tokens — portable
+    (md5-derived token hash + (a*h+b) mod p), so exactly SQL-checkable."""
+    from pysatl_cpd_spark.functions.text import token_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    squeezed = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    p = (1 << 31) - 1  # int64-safe: (h mod p) * a < 2^62
+    toks = (
+        docs.select("doc_id", F.explode(F.split(squeezed, " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+        .select("doc_id", (token_hash64(F.col("token")) % F.lit(p)).alias("h"))
+    )
+    import random
+
+    rnd = random.Random(42)
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(8)]
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(p)).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql() -> str:
+    import random
+
+    p = (1 << 31) - 1
+    rnd = random.Random(42)
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(8)]
+    mins = ",\n  ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t(token)
+  WHERE length(t.token) > 0
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % {p} AS h FROM toks
+)
+SELECT doc_id, {mins}
+FROM hashed GROUP BY doc_id
+"""
+
+
+def cpd_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-metric op (reference results_analyzer semantics) on derived
+    CP sets: predicted = events with value > 19, actual = value > 18."""
+    from pysatl_cpd_spark.operators.metrics import confusion_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.withColumn("t", F.row_number().over(w) - 1)
+    pred = base.filter(F.col("value") > 19).select(
+        F.col("user_id").cast("string").alias("series_id"), F.col("t").alias("change_point")
+    )
+    act = base.filter(F.col("value") > 18).select(
+        F.col("user_id").cast("string").alias("series_id"), F.col("t").alias("change_point")
+    )
+    return confusion_matrix(pred, act).withColumn(
+        "accuracy", F.round("accuracy", 9)
+    ).withColumn("precision", F.round("precision", 9)).withColumn(
+        "recall", F.round("recall", 9)
+    )
+
+
+CONFUSION_SQL = """
+WITH base AS (
+  SELECT CAST(user_id AS VARCHAR) AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+), pred AS (SELECT series_id, t AS change_point FROM base WHERE value > 19),
+   act AS (SELECT series_id, t AS change_point FROM base WHERE value > 18),
+   bounds AS (
+     SELECT series_id, min(change_point) AS lo, max(change_point) AS hi
+     FROM (SELECT * FROM pred UNION ALL SELECT * FROM act) GROUP BY series_id
+), pw AS (
+  SELECT DISTINCT p.series_id, p.change_point FROM pred p JOIN bounds b USING (series_id)
+  WHERE p.change_point >= b.lo AND p.change_point < b.hi
+), aw AS (
+  SELECT DISTINCT a.series_id, a.change_point FROM act a JOIN bounds b USING (series_id)
+  WHERE a.change_point >= b.lo AND a.change_point < b.hi
+), counts AS (
+  SELECT b.series_id, b.lo, b.hi,
+    (SELECT count(*) FROM pw WHERE pw.series_id = b.series_id) AS n_pred,
+    (SELECT count(*) FROM aw WHERE aw.series_id = b.series_id) AS n_act,
+    (SELECT count(*) FROM pw JOIN aw ON pw.series_id = aw.series_id
+        AND pw.change_point = aw.change_point WHERE pw.series_id = b.series_id) AS tp
+  FROM bounds b
+)
+SELECT series_id, tp, (hi - lo) - (n_pred + n_act - tp) AS tn,
+       n_pred - tp AS fp, n_act - tp AS fn,
+       round(CASE WHEN tp + ((hi - lo) - (n_pred + n_act - tp)) = 0 THEN 0.0
+            ELSE CAST(tp + ((hi - lo) - (n_pred + n_act - tp)) AS DOUBLE) / (hi - lo) END, 9) AS accuracy,
+       round(CASE WHEN tp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pred END, 9) AS precision,
+       round(CASE WHEN tp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_act END, 9) AS recall
+FROM counts
+"""
+
+
+def scrubber_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinearScrubber window assignment as a relational transform over the
+    per-user event series (window 100, shift 33)."""
+    from pysatl_cpd_spark.operators.cpd import assign_windows
+    from pysatl_cpd_spark.operators.series import events_series
+
+    series = events_series(_t(spark, sf_dir, "events"))
+    return assign_windows(series, window_length=100, shift_factor=1.0 / 3.0)
+
+
+SCRUBBER_SQL = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+), pos AS (
+  SELECT series_id, t, value, t AS pos FROM series
+)
+SELECT series_id, w.window_id, pos, t, value
+FROM pos, unnest(generate_series(
+      greatest(0, CAST(ceil((pos - 99) / 33.0) AS BIGINT)),
+      pos // 33)) AS w(window_id)
+"""
+
+
+def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec invariant surfaced to the oracle: encode each per-user value
+    series to Gorilla blobs, decode, re-aggregate — must equal the direct SQL
+    aggregates (count/min/max/first/last are exact under a lossless codec)."""
+    from pysatl_cpd_spark.operators.segments import decode_segments, encode_segments
+    from pysatl_cpd_spark.operators.series import events_series
+
+    series = events_series(_t(spark, sf_dir, "events")).withColumn(
+        "segment_id", F.lit(0).cast("long")
+    )
+    decoded = decode_segments(encode_segments(series))
+    return decoded.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.min_by("value", "t").alias("first_value"),
+        F.max_by("value", "t").alias("last_value"),
+    )
+
+
+GORILLA_SQL = """
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+)
+SELECT series_id, count(*) AS n_points, min(value) AS min_value,
+       max(value) AS max_value,
+       arg_min(value, t) AS first_value, arg_max(value, t) AS last_value
+FROM series GROUP BY series_id
+"""
+
+
+def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup: (event_type, day) hierarchy totals."""
+    ev = _t(spark, sf_dir, "events")
+    scaled = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.rollup("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), (F.sum(scaled) / 100.0).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("(all)")).alias("day"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+ROLLUP_CUBE_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+"""
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the most recent order (by o_orderdate <=
+    event ts) of the mapped customer — implemented as union + LOCF window,
+    the shuffle-once pattern that avoids a true inequality join."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100 + 1).alias("k"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_key"),
+        F.lit(1).alias("is_event"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("o_key"),
+        F.lit(0).alias("is_event"),
+    )
+    merged = ev.unionByName(orders)
+    w = W.partitionBy("k").orderBy("ts", "is_event", "o_key").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        merged.withColumn("last_order", F.last("o_key", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "k", "last_order")
+    )
+
+
+ASOF_SQL = """
+WITH merged AS (
+  SELECT user_id % 100 + 1 AS k, ts, event_id, NULL::BIGINT AS o_key, 1 AS is_event
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS k, o_orderdate AS ts, NULL::BIGINT AS event_id,
+         o_orderkey AS o_key, 0 AS is_event
+  FROM orders
+)
+SELECT event_id, k, last_order FROM (
+  SELECT *, last_value(o_key IGNORE NULLS) OVER (
+    PARTITION BY k ORDER BY ts, is_event, o_key ROWS UNBOUNDED PRECEDING) AS last_order
+  FROM merged
+) WHERE is_event = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# CPD queries (non-SQL-expressible → rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def _event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.operators.series import events_series
+
+    return events_series(_t(spark, sf_dir, "events"))
+
+
+def cpd_bocpd_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.detectors import BayesianOffline
+    from pysatl_cpd_spark.operators.cpd import detect_offline
+
+    return detect_offline(
+        _event_series(spark, sf_dir), lambda: BayesianOffline(learning_steps=20)
+    )
+
+
+def cpd_bocpd_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.detectors import (
+        ArgmaxLocalizer,
+        BayesianOnlineDetector,
+        ConstantHazard,
+        GaussianConjugate,
+        ThresholdDetector,
+    )
+    from pysatl_cpd_spark.operators.cpd import detect_online
+
+    factory = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
+        GaussianConjugate(),
+        20,
+        ThresholdDetector(0.04),
+        ArgmaxLocalizer(),
+    )
+    return detect_online(_event_series(spark, sf_dir), factory)
+
+
+def cpd_linear_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.detectors import (
+        ArgmaxLocalizer,
+        BayesianLinearHeuristic,
+        BayesianOnlineDetector,
+        ConstantHazard,
+        HeuristicGaussianVsExponential,
+        ThresholdDetector,
+    )
+    from pysatl_cpd_spark.operators.cpd import detect_online
+
+    inner = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
+        HeuristicGaussianVsExponential(),
+        20,
+        ThresholdDetector(0.04),
+        ArgmaxLocalizer(),
+    )
+    factory = lambda: BayesianLinearHeuristic(inner, 500, 250)  # noqa: E731
+    return detect_online(_event_series(spark, sf_dir), factory)
+
+
+def cpd_cusum_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.detectors import CusumDetector
+    from pysatl_cpd_spark.operators.cpd import detect_offline
+
+    return detect_offline(
+        _event_series(spark, sf_dir), lambda: CusumDetector(k=2.0, h=20.0)
+    )
+
+
+def cpd_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.detectors.classification import ClassificationCpd, KnnClassifier
+    from pysatl_cpd_spark.operators.cpd import detect_windowed
+
+    return detect_windowed(
+        _event_series(spark, sf_dir),
+        lambda: ClassificationCpd(KnnClassifier(7), "mcc", 0.85, 0.25),
+        window_length=48,
+        shift_factor=0.5,
+    )
+
+
+def cpd_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.detectors.knn_stat import KnnCpd
+    from pysatl_cpd_spark.operators.cpd import detect_windowed
+
+    return detect_windowed(
+        _event_series(spark, sf_dir),
+        lambda: KnnCpd(threshold=4.5, indent_coeff=0.25, k=7),
+        window_length=48,
+        shift_factor=0.5,
+    )
+
+
+def cpd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pysatl_cpd_spark.detectors.graph_stat import GraphCpd
+    from pysatl_cpd_spark.operators.cpd import detect_windowed
+
+    return detect_windowed(
+        _event_series(spark, sf_dir),
+        lambda: GraphCpd(lambda a, b: np.abs(a - b) <= 5.0, threshold=3.0),
+        window_length=100,
+        shift_factor=1.0 / 3.0,
+    )
+
+
+def cpd_kliep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.detectors.density import KliepCpd
+    from pysatl_cpd_spark.operators.cpd import detect_windowed
+
+    return detect_windowed(
+        _event_series(spark, sf_dir),
+        lambda: KliepCpd(bandwidth=1.0, regularization_coef=0.01, threshold=1.5),
+        window_length=100,
+        shift_factor=1.0 / 3.0,
+    )
+
+
+def cpd_rulsif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.detectors.density import RulsifCpd
+    from pysatl_cpd_spark.operators.cpd import detect_windowed
+
+    return detect_windowed(
+        _event_series(spark, sf_dir),
+        lambda: RulsifCpd(bandwidth=1.0, regularization_coef=0.01, threshold=1.5),
+        window_length=100,
+        shift_factor=1.0 / 3.0,
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def lsh_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, q, dim=dim, k=5)
+
+
+def transcripts_cpd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: synthesize transcripts deterministically, detect turn-rate
+    change points per conversation, Gorilla-encode the segments between them,
+    and return per-segment summaries. (No external input — seeded.)"""
+    from pysatl_cpd_spark.detectors import CusumDetector
+    from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.operators.segments import assign_segments, encode_segments
+    from pysatl_cpd_spark.operators.series import turn_rate_series
+    from pysatl_cpd_spark.sources.transcripts import transcripts_table
+
+    tr = transcripts_table(spark, n_conversations=20, avg_turns=300, seed=42)
+    series = turn_rate_series(tr)
+    cps = detect_offline(series, lambda: CusumDetector(k=0.05, h=2.0))
+    segmented = assign_segments(series, cps)
+    return encode_segments(segmented).select(
+        "series_id",
+        "segment_id",
+        "n_points",
+        "t_min",
+        "t_max",
+        F.round("min_value", 9).alias("min_value"),
+        F.round("max_value", 9).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: CPD-adaptive segment rollup of per-user event
+    series (detect CPs JVM-side via CUSUM scores, segment, Gorilla-encode,
+    summarize)."""
+    sf_dir = "/root/testdata/sf0.001"
+    from pysatl_cpd_spark.detectors import CusumDetector
+    from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.operators.segments import assign_segments, encode_segments
+    from pysatl_cpd_spark.operators.series import events_series
+
+    series = events_series(_t(spark, sf_dir, "events"))
+    cps = detect_offline(series, lambda: CusumDetector(k=2.0, h=20.0))
+    segmented = assign_segments(series, cps)
+    return encode_segments(segmented).drop("blob")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q6_revenue": q6_revenue,
+        "events_rollup_1m": lambda s, d: _rollup_events(s, d, "minute"),
+        "events_rollup_1h": lambda s, d: _rollup_events(s, d, "hour"),
+        "events_rollup_1d": lambda s, d: _rollup_events(s, d, "day"),
+        "events_rollup_hierarchy": events_rollup_cube,
+        "events_sessionize": events_sessionize,
+        "top_events_per_user": top_events_per_user,
+        "inter_event_gaps": inter_event_gaps,
+        "cusum_scores": cusum_scores_events,
+        "events_gapfill": events_gapfill,
+        "asof_join": asof_join_events_orders,
+        "doc_fingerprints": doc_fingerprints,
+        "dedup_exact": dedup_exact_docs,
+        "text_quality": text_quality,
+        "token_jaccard": token_jaccard,
+        "embeddings_cosine_topk": embeddings_cosine_topk,
+        "minhash_signatures": minhash_signatures_q,
+        "cpd_confusion": cpd_confusion,
+        "scrubber_windows": scrubber_windows_q,
+        "gorilla_roundtrip": gorilla_roundtrip,
+        # non-SQL-expressible (rows-only)
+        "cpd_bocpd_offline": cpd_bocpd_offline,
+        "cpd_bocpd_online": cpd_bocpd_online,
+        "cpd_linear_heuristic": cpd_linear_heuristic,
+        "cpd_cusum_localized": cpd_cusum_localized,
+        "cpd_classification": cpd_classification,
+        "cpd_knn": cpd_knn,
+        "cpd_graph": cpd_graph,
+        "cpd_kliep": cpd_kliep,
+        "cpd_rulsif": cpd_rulsif,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_pairs": simhash_pairs,
+        "lsh_cosine_topk": lsh_cosine_query,
+        "transcripts_cpd_rollup": transcripts_cpd_rollup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q6_revenue": Q6_SQL,
+        "events_rollup_1m": _rollup_sql("minute"),
+        "events_rollup_1h": _rollup_sql("hour"),
+        "events_rollup_1d": _rollup_sql("day"),
+        "events_rollup_hierarchy": ROLLUP_CUBE_SQL,
+        "events_sessionize": SESSIONIZE_SQL,
+        "top_events_per_user": TOPK_SQL,
+        "inter_event_gaps": GAPS_SQL,
+        "cusum_scores": CUSUM_SQL,
+        "events_gapfill": GAPFILL_SQL,
+        "asof_join": ASOF_SQL,
+        "doc_fingerprints": FINGERPRINT_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "text_quality": TEXT_QUALITY_SQL,
+        "token_jaccard": JACCARD_SQL,
+        "embeddings_cosine_topk": COSINE_SQL,
+        "minhash_signatures": _minhash_sql(),
+        "cpd_confusion": CONFUSION_SQL,
+        "scrubber_windows": SCRUBBER_SQL,
+        "gorilla_roundtrip": GORILLA_SQL,
+    }

@@ -1,0 +1,198 @@
+"""Distributed change-point detection over keyed series.
+
+The one Spark-side pattern every detector shares (SURVEY.md §3.1): shuffle by
+series key, order each group by its index, run the numpy kernel inside a
+grouped-map pandas UDF, and emit (series_id, change_point) rows with window-
+local indices remapped to the carried global index column (the reference's
+index-remap law, cpd_core.py:41).
+
+Scale levers:
+  - explicit column pruning before the UDF (Catalyst cannot prune through
+    applyInPandas — never ship text/payload columns into the detector);
+  - ``chunk_series`` splits hot keys into overlapping chunks so one giant
+    conversation cannot pin a single executor (salted repartition); chunk
+    windows overlap by the detector's horizon and detections are deduped on
+    the absolute index, so the stitch is exact;
+  - the linear-heuristic detector bounds per-point state, keeping per-series
+    cost linear (the reference's own scaling answer).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Protocol
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+CP_SCHEMA = "series_id string, change_point long"
+
+
+class WindowAlgorithm(Protocol):
+    def localize(self, window: np.ndarray) -> list[int]: ...
+
+
+class SeriesAlgorithm(Protocol):
+    def process_series(self, values: np.ndarray) -> list[int]: ...
+
+
+def _prepared(series_df: DataFrame) -> DataFrame:
+    # manual column pruning: the UDF barrier hides this from Catalyst
+    return series_df.select("series_id", "t", "value")
+
+
+def detect_offline(
+    series_df: DataFrame,
+    algorithm_factory: Callable[[], WindowAlgorithm],
+) -> DataFrame:
+    """Run a windowed (offline) detector over each whole series.
+
+    series_df: (series_id, t, value). Returns (series_id, change_point) where
+    change_point is the global ``t`` of the detected index.
+    """
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        index = pdf["t"].to_numpy()
+        cps = algorithm_factory().localize(values)
+        return pd.DataFrame(
+            {"series_id": pdf["series_id"].iloc[0], "change_point": index[cps]}
+            if cps
+            else {"series_id": pd.Series([], dtype=str), "change_point": pd.Series([], dtype="int64")}
+        )
+
+    return _prepared(series_df).groupBy("series_id").applyInPandas(run, CP_SCHEMA)
+
+
+def detect_online(
+    series_df: DataFrame,
+    algorithm_factory: Callable[[], SeriesAlgorithm],
+) -> DataFrame:
+    """Run a per-observation (online) detector across each ordered series.
+    The detector's absolute positions are remapped through the global index."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        index = pdf["t"].to_numpy()
+        cps = algorithm_factory().process_series(values)
+        cps = [c for c in cps if c < len(index)]
+        return pd.DataFrame(
+            {"series_id": pdf["series_id"].iloc[0], "change_point": index[cps]}
+            if cps
+            else {"series_id": pd.Series([], dtype=str), "change_point": pd.Series([], dtype="int64")}
+        )
+
+    return _prepared(series_df).groupBy("series_id").applyInPandas(run, CP_SCHEMA)
+
+
+# -- scrubber: overlapping sliding windows as a relational transform ---------
+
+
+def assign_windows(
+    series_df: DataFrame,
+    window_length: int = 100,
+    shift_factor: float = 1.0 / 3.0,
+) -> DataFrame:
+    """LinearScrubber law as arithmetic (reference linear.py:37-53): hop
+    ``shift = max(1, int(window_length*shift_factor))``; window k covers
+    per-series positions [k*shift, k*shift + window_length). A row whose dense
+    position is p lands in every k in [ceil((p-window_length+1)/shift),
+    floor(p/shift)] — produced with sequence+explode, no UDF.
+
+    Returns (series_id, window_id, pos, t, value); ``pos`` is the dense
+    per-series position, carried so downstream can remap window-local indices.
+    """
+    shift = max(1, int(window_length * shift_factor))
+    w = W.partitionBy("series_id").orderBy("t")
+    with_pos = _prepared(series_df).withColumn("pos", F.row_number().over(w) - F.lit(1))
+    k_min = F.greatest(
+        F.lit(0),
+        F.ceil((F.col("pos") - F.lit(window_length - 1)) / F.lit(shift)).cast("long"),
+    )
+    k_max = F.floor(F.col("pos") / F.lit(shift)).cast("long")
+    return with_pos.withColumn(
+        "window_id", F.explode(F.sequence(k_min, k_max))
+    ).select("series_id", "window_id", "pos", "t", "value")
+
+
+def detect_windowed(
+    series_df: DataFrame,
+    algorithm_factory: Callable[[], WindowAlgorithm],
+    window_length: int = 100,
+    shift_factor: float = 1.0 / 3.0,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Offline detector over scrubber windows (the reference CpdCore.localize
+    composition): window-local detections are remapped via the carried global
+    index and concatenated; overlapping windows re-detect the same point, so
+    ``dedupe`` keeps one row per (series_id, change_point)."""
+    windows = assign_windows(series_df, window_length, shift_factor)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        index = pdf["t"].to_numpy()
+        cps = algorithm_factory().localize(values)
+        return pd.DataFrame(
+            {"series_id": pdf["series_id"].iloc[0], "change_point": index[cps]}
+            if cps
+            else {"series_id": pd.Series([], dtype=str), "change_point": pd.Series([], dtype="int64")}
+        )
+
+    out = windows.groupBy("series_id", "window_id").applyInPandas(run, CP_SCHEMA)
+    return out.distinct() if dedupe else out
+
+
+# -- skew: chunk + overlap + stitch ------------------------------------------
+
+
+def chunk_series(
+    series_df: DataFrame,
+    chunk_size: int,
+    overlap: int,
+) -> DataFrame:
+    """Split each series into overlapping chunks for hot-key (skew) handling:
+    chunk c covers dense positions [c*(chunk_size-overlap), ... + chunk_size).
+    Group key becomes (series_id, chunk_id) so a 10^6-turn conversation fans
+    out over many tasks instead of pinning one."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    step = chunk_size - overlap
+    w = W.partitionBy("series_id").orderBy("t")
+    with_pos = _prepared(series_df).withColumn("pos", F.row_number().over(w) - F.lit(1))
+    c_min = F.greatest(
+        F.lit(0),
+        F.ceil((F.col("pos") - F.lit(chunk_size - 1)) / F.lit(step)).cast("long"),
+    )
+    c_max = F.floor(F.col("pos") / F.lit(step)).cast("long")
+    return with_pos.withColumn("chunk_id", F.explode(F.sequence(c_min, c_max)))
+
+
+def detect_offline_chunked(
+    series_df: DataFrame,
+    algorithm_factory: Callable[[], WindowAlgorithm],
+    chunk_size: int = 20000,
+    overlap: int = 500,
+) -> DataFrame:
+    """Offline detection with hot-key chunking. Detections are absolute
+    (remapped through the carried t), so stitching = distinct on (series, t)."""
+    chunks = chunk_series(series_df, chunk_size, overlap)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        index = pdf["t"].to_numpy()
+        cps = algorithm_factory().localize(values)
+        return pd.DataFrame(
+            {"series_id": pdf["series_id"].iloc[0], "change_point": index[cps]}
+            if cps
+            else {"series_id": pd.Series([], dtype=str), "change_point": pd.Series([], dtype="int64")}
+        )
+
+    return (
+        chunks.groupBy("series_id", "chunk_id")
+        .applyInPandas(run, CP_SCHEMA)
+        .distinct()
+    )

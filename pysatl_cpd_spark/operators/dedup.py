@@ -1,0 +1,249 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash-LSH, SimHash and n-gram-Jaccard near-dup detection over a
+documents table. Everything is built from relational primitives (explode →
+groupBy → join), so it scales shuffle-bound, not driver-bound; hashes are
+md5-derived so a SQL oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from pysatl_cpd_spark.functions.text import fingerprint, token_hash64
+
+_MERSENNE = (1 << 31) - 1  # int64-safe: (h mod p) * a < 2^62
+
+
+def _normalized_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) distinct word tokens of the normalized text."""
+    squeezed = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.split(squeezed, " ").alias("toks"))
+        .select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: (fingerprint,
+    n_dups, keep_id) for groups with >1 member. Hash-groupBy — one shuffle."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per fingerprint group."""
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word tokens for candidate pairs
+    sharing >= 1 token: (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Shuffle shape: explode to (doc, token), self-join on token (skew-prone on
+    stopwords — AQE skew join handles it; at 100 TB you'd also drop
+    ultra-high-df tokens first), then one groupBy on the pair.
+    """
+    toks = _normalized_tokens(docs, id_col, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, F.col("a.token") == F.col("b.token"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct word n-gram shingles, via slide over the
+    token array (transform + filter — JVM-side)."""
+    squeezed = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(squeezed, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per doc: h_i(x) = (a_i * x + b_i) mod p over the
+    portable 60-bit shingle hash; signature = array of per-function minima.
+    One shuffle (groupBy doc)."""
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    hashed = shingled.select("doc_id", (token_hash64(F.col("shingle")) % _MERSENNE).alias("h"))
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH near-dup candidates: band the signature, bucket-join on
+    (band, band-hash), emit distinct candidate pairs with estimated Jaccard
+    (signature agreement rate). Scale path: the join key is (band_id, hash of
+    rows-per-band), so only docs agreeing on a full band ever meet."""
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        shingles(docs, shingle_n, id_col, text_col), num_hashes, seed
+    )
+    banded = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "signature", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash per document: sign-sum of token-hash bits. Relational form:
+    explode tokens → per-bit ±1 contributions → groupBy doc → sign. The
+    per-bit loop builds ``bits`` aggregate columns (JVM-side)."""
+    toks = _normalized_tokens(docs, id_col, text_col)
+    hashed = toks.select("doc_id", token_hash64(F.col("token")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(min(bits, 60))
+    ]
+    agg = hashed.groupBy("doc_id").agg(*bit_sums)
+    sim: F.Column = F.lit(0).cast("long")
+    for i in range(min(bits, 60)):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 4 16-bit chunks
+    (pigeonhole: distance <= 3 ⇒ at least one identical chunk)."""
+    sh = simhash(docs, 64, id_col, text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", 15 * i)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,125 @@
+"""Continuous aggregates (rollup tiers) + retention pruning.
+
+Time-series downsampling engine (the graft's north rule): raw points roll up
+into 1m/1h/1d tiers via built-in hash aggregation over truncated timestamps —
+partial+final aggregation, AQE coalescing and whole-stage codegen all come
+from Catalyst for free. Retention is a partition-pruned delete predicate: each
+tier keeps only rows newer than its horizon.
+
+Tier summaries per (key, bucket): count / min / max / avg / first / last
+(first/last by event time — computed with struct-min/max so a single shuffle
+produces them; no window function needed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+
+@dataclass(frozen=True)
+class Tier:
+    name: str  # "1m" | "1h" | "1d"
+    retention_days: int | None = None  # None = keep forever
+
+
+DEFAULT_TIERS = (
+    Tier("1m", retention_days=7),
+    Tier("1h", retention_days=90),
+    Tier("1d", retention_days=None),
+)
+
+
+def rollup_tier(
+    df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """One tier of continuous aggregate: group by key + truncated bucket."""
+    trunc = TIER_TRUNC[tier]
+    bucket = F.date_trunc(trunc, F.col(ts_col)).alias("bucket")
+    # first/last by time via single-pass struct extremes (one shuffle total)
+    ts_val = F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("v"))
+    return (
+        df.groupBy(*key_cols, bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.avg(value_col).alias("avg_value"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(ts_val).getField("v").alias("first_value"),
+            F.max(ts_val).getField("v").alias("last_value"),
+        )
+    )
+
+
+def rollup_all_tiers(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiers: tuple[Tier, ...] = DEFAULT_TIERS,
+) -> dict[str, DataFrame]:
+    """All tiers from one source scan. The 1h/1d tiers re-aggregate the 1m
+    tier (not the raw table) — hierarchical rollup so the raw scan happens
+    once; counts/min/max/sum compose exactly, avg = sum/count, and
+    first/last compose by carrying bucket-edge values."""
+    out: dict[str, DataFrame] = {}
+    minute = rollup_tier(df, "1m", key_cols, ts_col, value_col)
+    out["1m"] = minute
+    prev = minute
+    for tier in ("1h", "1d"):
+        trunc = TIER_TRUNC[tier]
+        bucket = F.date_trunc(trunc, F.col("bucket")).alias("bucket")
+        b_val = F.struct(F.col("bucket").alias("b"), F.col("first_value").alias("v"))
+        b_val_last = F.struct(F.col("bucket").alias("b"), F.col("last_value").alias("v"))
+        prev = (
+            prev.groupBy(*key_cols, bucket)
+            .agg(
+                F.sum("n_points").alias("n_points"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min(b_val).getField("v").alias("first_value"),
+                F.max(b_val_last).getField("v").alias("last_value"),
+            )
+            .withColumn("avg_value", F.col("sum_value") / F.col("n_points"))
+            .select(
+                *key_cols,
+                "bucket",
+                "n_points",
+                "min_value",
+                "max_value",
+                "avg_value",
+                "sum_value",
+                "first_value",
+                "last_value",
+            )
+        )
+        out[tier] = prev
+    return out
+
+
+def apply_retention(
+    tier_df: DataFrame,
+    tier: Tier,
+    now_expr: str | None = None,
+) -> DataFrame:
+    """Retention pruning as a bucket predicate. On a partitioned table this
+    compiles to partition pruning (drop whole partitions); here it is the
+    equivalent filter. ``now_expr`` defaults to the max bucket in the data so
+    tests are deterministic."""
+    if tier.retention_days is None:
+        return tier_df
+    if now_expr is None:
+        horizon = F.date_sub(F.max("bucket").over(W.partitionBy()), tier.retention_days)
+        return tier_df.filter(F.col("bucket") >= horizon)
+    return tier_df.filter(
+        F.col("bucket") >= F.expr(f"date_sub({now_expr}, {tier.retention_days})")
+    )

@@ -1,0 +1,92 @@
+"""CPD-adaptive segmentation + Gorilla materialization.
+
+Segments are the half-open stretches between detected change points. The
+segment id assignment is relational (marker join + running sum — one shuffle,
+no UDF); only the codec itself runs in a grouped pandas UDF, emitting one
+compressed blob + summary row per segment. decode_segments reverses the codec
+for verification, proving the per-row invariant decode(encode(s)) == s.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from pysatl_cpd_spark.operators.gorilla import decode_segment, encode_segment
+
+SEGMENT_SCHEMA = (
+    "series_id string, segment_id long, n_points long, "
+    "t_min long, t_max long, min_value double, max_value double, "
+    "first_value double, last_value double, blob binary"
+)
+
+
+def assign_segments(series_df: DataFrame, cps_df: DataFrame) -> DataFrame:
+    """series (series_id, t, value) × change points (series_id, change_point)
+    → + segment_id: number of change points at or before t."""
+    markers = (
+        cps_df.select(
+            "series_id", F.col("change_point").alias("t"), F.lit(1).alias("_cp")
+        )
+        .distinct()
+    )
+    joined = series_df.join(markers, on=["series_id", "t"], how="left")
+    run = W.partitionBy("series_id").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    return joined.withColumn(
+        "segment_id", F.coalesce(F.sum("_cp").over(run), F.lit(0)).cast("long")
+    ).drop("_cp")
+
+
+def encode_segments(segmented: DataFrame) -> DataFrame:
+    """(series_id, t, value, segment_id) → one Gorilla blob + summary per
+    segment. ``t`` doubles as the int64 timestamp stream."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        ts = pdf["t"].to_numpy(dtype=np.int64)
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        blob = encode_segment(ts, values)
+        return pd.DataFrame(
+            {
+                "series_id": [pdf["series_id"].iloc[0]],
+                "segment_id": [int(pdf["segment_id"].iloc[0])],
+                "n_points": [len(ts)],
+                "t_min": [int(ts[0])],
+                "t_max": [int(ts[-1])],
+                "min_value": [float(np.min(values))],
+                "max_value": [float(np.max(values))],
+                "first_value": [float(values[0])],
+                "last_value": [float(values[-1])],
+                "blob": [blob],
+            }
+        )
+
+    pruned = segmented.select("series_id", "segment_id", "t", "value")
+    return pruned.groupBy("series_id", "segment_id").applyInPandas(run, SEGMENT_SCHEMA)
+
+
+def decode_segments(encoded: DataFrame) -> DataFrame:
+    """Inverse: explode blobs back to (series_id, segment_id, t, value)."""
+
+    def run(batches):
+        for pdf in batches:
+            out_series, out_seg, out_t, out_v = [], [], [], []
+            for _, row in pdf.iterrows():
+                ts, values = decode_segment(bytes(row["blob"]))
+                out_series.extend([row["series_id"]] * len(ts))
+                out_seg.extend([row["segment_id"]] * len(ts))
+                out_t.extend(ts.tolist())
+                out_v.extend(values.tolist())
+            yield pd.DataFrame(
+                {
+                    "series_id": pd.Series(out_series, dtype=str),
+                    "segment_id": pd.Series(out_seg, dtype="int64"),
+                    "t": pd.Series(out_t, dtype="int64"),
+                    "value": pd.Series(out_v, dtype="float64"),
+                }
+            )
+
+    return encoded.select("series_id", "segment_id", "blob").mapInPandas(
+        run, "series_id string, segment_id long, t long, value double"
+    )
