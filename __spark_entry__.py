@@ -568,10 +568,11 @@ WITH base AS (
         AND pw.change_point = aw.change_point WHERE pw.series_id = b.series_id) AS tp
   FROM bounds b
 )
-SELECT series_id, tp, (hi - lo) - (n_pred + n_act - tp) AS tn,
+SELECT series_id, tp, (hi - lo) - n_act AS tn,
        n_pred - tp AS fp, n_act - tp AS fn,
-       round(CASE WHEN tp + ((hi - lo) - (n_pred + n_act - tp)) = 0 THEN 0.0
-            ELSE CAST(tp + ((hi - lo) - (n_pred + n_act - tp)) AS DOUBLE) / (hi - lo) END, 9) AS accuracy,
+       round(CASE WHEN tp + ((hi - lo) - n_act) = 0 THEN 0.0
+            ELSE CAST(tp + ((hi - lo) - n_act) AS DOUBLE)
+                 / ((hi - lo) + n_pred - tp) END, 9) AS accuracy,
        round(CASE WHEN tp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pred END, 9) AS precision,
        round(CASE WHEN tp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_act END, 9) AS recall
 FROM counts

@@ -1,0 +1,134 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Headline set: the oracle-checked relational/rollup/gap-fill queries plus the
+CPD detectors and the flagship CPD-adaptive rollup pipeline over synthesized
+transcripts. ``rollup_points_per_sec`` (extra key) is the north-star metric:
+raw points ingested through detect→segment→encode→rollup per wall second.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_CONVS / _TURNS to size the transcripts pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from pysatl_cpd_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "events_rollup_1m",
+    "events_rollup_1h",
+    "events_sessionize",
+    "events_gapfill",
+    "cusum_scores",
+    "top_events_per_user",
+    "token_jaccard",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embeddings_cosine_topk",
+    "cpd_bocpd_offline",
+    "cpd_linear_heuristic",
+    "cpd_cusum_localized",
+    "gorilla_roundtrip",
+]
+
+
+def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, int]:
+    """CPD-adaptive rollup over synthesized transcripts; returns (sec, points)."""
+    from pyspark.sql import functions as F
+
+    from pysatl_cpd_spark.detectors import (
+        ArgmaxLocalizer,
+        BayesianLinearHeuristic,
+        BayesianOnlineDetector,
+        ConstantHazard,
+        HeuristicGaussianVsExponential,
+        ThresholdDetector,
+    )
+    from pysatl_cpd_spark.operators.cpd import detect_online
+    from pysatl_cpd_spark.operators.rollup import rollup_all_tiers
+    from pysatl_cpd_spark.operators.segments import assign_segments, encode_segments
+    from pysatl_cpd_spark.operators.series import turn_rate_series
+    from pysatl_cpd_spark.sources.transcripts import transcripts_table
+
+    t0 = time.perf_counter()
+    tr = transcripts_table(
+        spark, n_conversations=n_conversations, avg_turns=avg_turns, seed=42
+    ).cache()
+    n_points = tr.count()
+
+    series = turn_rate_series(tr)
+    inner = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
+        HeuristicGaussianVsExponential(),
+        20,
+        ThresholdDetector(0.04),
+        ArgmaxLocalizer(),
+    )
+    factory = lambda: BayesianLinearHeuristic(inner, 500, 250)  # noqa: E731
+    cps = detect_online(series, factory)
+    segmented = assign_segments(series, cps)
+    encoded = encode_segments(segmented)
+    encoded.count()
+
+    tiers = rollup_all_tiers(
+        tr.select("conv_id", "ts", F.lit(1.0).alias("value")), ["conv_id"]
+    )
+    for tier_df in tiers.values():
+        tier_df.count()
+    tr.unpersist()
+    return time.perf_counter() - t0, n_points
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400"))
+    avg_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "400"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(cores=cores, app_name="pysatl_cpd_spark_bench")
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Arrow paths once
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+
+    total0 = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    flagship_sec, points = run_flagship(spark, n_convs, avg_turns)
+    timings["transcripts_cpd_rollup"] = round(flagship_sec, 3)
+    total = time.perf_counter() - total0
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "rollup_points_per_sec": round(points / flagship_sec, 1),
+                "rollup_points": points,
+                "cores": cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

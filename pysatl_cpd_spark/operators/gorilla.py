@@ -85,8 +85,11 @@ def encode_segment(ts: npt.NDArray[np.int64], values: npt.NDArray[np.float64]) -
 
     # vectorized value-stream analysis
     xors = bits[1:] ^ bits[:-1]
+    # float64 conversion can round a near-2^64 xor up to 2^64 (floor log2 = 64
+    # → lead -1), so clamp into [0, 63]; an under-estimated lead only widens
+    # the stored meaningful-bit window, never corrupts it.
     lead = (63 - np.floor(np.log2(xors.astype(np.float64) + (xors == 0)))).astype(int)
-    lead = np.where(xors == 0, 64, np.minimum(lead, 63))
+    lead = np.where(xors == 0, 64, np.clip(lead, 0, 63))
     trail = np.zeros_like(lead)
     nz = xors != 0
     if nz.any():

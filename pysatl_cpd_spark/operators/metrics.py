@@ -3,8 +3,11 @@ analysis/results_analyzer.py:14-87 and icpd_solver.py:41-50).
 
 Confusion counts over an index window [lo, hi) need no per-index scan: with
 P = predicted set ∩ window, A = actual set ∩ window,
-  TP = |P ∩ A|, FP = |P \\ A|, FN = |A \\ P|, TN = (hi - lo) - |P ∪ A| —
-pure set arithmetic from two small aggregations + one join.
+  TP = |P ∩ A|, FP = |P \\ A|, FN = |A \\ P|, TN = (hi - lo) - TP - FN —
+pure set arithmetic from two small aggregations + one join. Note the TN
+formula mirrors a reference quirk (results_analyzer.py:33-41): its ``tn += 1``
+falls through after ``fp += 1`` (no else), so false positives also count as
+true negatives; goldens in tests/test_solver.py:49 encode that behavior.
 """
 
 from __future__ import annotations
@@ -63,8 +66,7 @@ def confusion_matrix(
         .withColumn("fn", F.col("n_act") - F.col("tp"))
         .withColumn(
             "tn",
-            (F.col("hi") - F.col("lo"))
-            - (F.col("n_pred") + F.col("n_act") - F.col("tp")),
+            (F.col("hi") - F.col("lo")) - F.col("n_act"),
         )
     )
     total = F.col("tp") + F.col("tn") + F.col("fp") + F.col("fn")

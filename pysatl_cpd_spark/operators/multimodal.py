@@ -1,0 +1,99 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with a metadata struct; all
+heavy per-item work (decode, resize, feature-extract, frame-sample) runs as
+Arrow-batched ``mapInPandas`` so payload bytes never inflate on the JVM side
+beyond the Arrow batch. The decode kernels themselves are STUBS in this
+container (no image/audio libs baked in): ``decode_image`` raises
+NotImplementedError unless Pillow is importable, while ``fake_decode``
+deterministically derives pseudo-pixels from the payload hash so the full
+Spark plumbing (schema, batching, partitioning, UDF signatures) is testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "item_id long, kind string, payload binary, mime string, width int, "
+    "height int, duration_s double"
+)
+
+FEATURE_SCHEMA = "item_id long, kind string, n_bytes long, sha1 string, feature array<float>"
+
+
+def synthesize_media(spark, n_items: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table: payload = seeded bytes; metadata
+    consistent with kind."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n_items):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8)
+        rows.append(
+            (
+                i,
+                kind,
+                bytes(payload.tobytes()),
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                int(rng.integers(16, 512)) if kind != "audio" else None,
+                int(rng.integers(16, 512)) if kind != "audio" else None,
+                float(rng.uniform(0.5, 30.0)) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _try_real_decode(payload: bytes):  # pragma: no cover - env-gated
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires Pillow, not available in this container"
+        ) from exc
+    return Image.open(io.BytesIO(payload))
+
+
+def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in for decode+feature-extract: expand the sha1 of
+    the payload into ``dim`` floats in [0, 1). Same payload → same feature on
+    any executor."""
+    digest = hashlib.sha1(payload).digest()
+    raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw % 10_000).astype(np.float32) / 10_000.0
+
+
+def extract_features(media: DataFrame, dim: int = 16, real_decode: bool = False) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads. Arrow moves the
+    payload bytes in columnar batches; each batch is processed vectorized-ish
+    (hashing per item — the genuinely per-item part)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas = [], []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                if real_decode:
+                    _try_real_decode(data)
+                shas.append(hashlib.sha1(data).hexdigest())
+                feats.append(fake_decode(data, dim))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "sha1": shas,
+                    "feature": feats,
+                }
+            )
+
+    pruned = media.select("item_id", "kind", "payload")
+    return pruned.mapInPandas(run, FEATURE_SCHEMA)

@@ -118,8 +118,15 @@ def apply_retention(
     if tier.retention_days is None:
         return tier_df
     if now_expr is None:
-        horizon = F.date_sub(F.max("bucket").over(W.partitionBy()), tier.retention_days)
-        return tier_df.filter(F.col("bucket") >= horizon)
+        # data-relative horizon: broadcast the 1-row max-bucket aggregate
+        bounds = tier_df.agg(
+            F.date_sub(F.max("bucket"), tier.retention_days).alias("_horizon")
+        )
+        return (
+            tier_df.join(F.broadcast(bounds))
+            .filter(F.col("bucket") >= F.col("_horizon"))
+            .drop("_horizon")
+        )
     return tier_df.filter(
         F.col("bucket") >= F.expr(f"date_sub({now_expr}, {tier.retention_days})")
     )

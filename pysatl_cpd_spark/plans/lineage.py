@@ -1,0 +1,104 @@
+"""Per-stage lineage + metrics and exact resume-from-checkpoint.
+
+The north rule requires every partition/stage to emit lineage + metrics rows
+and re-runs to be idempotent. Mechanism (no Catalyst involvement — pure
+engine logic, mirroring the reference pipeline's metadata threading,
+benchmarking/pipeline/pipeline.py:216-230, but as durable tables):
+
+  - a job is a sequence of named stages; each stage writes its output to
+    ``<root>/<stage>/data`` (parquet) plus a ``_LINEAGE`` JSON sidecar with
+    the stage key: (stage name, input fingerprint, params fingerprint);
+  - on re-run, a stage whose sidecar matches its key is skipped and its
+    persisted output is reused — exact resume, because every stage in this
+    engine is a pure function of (inputs, params, seed) (the window transform
+    and all RNGs are keyed, SURVEY.md §4);
+  - metrics rows (rows in/out, wall seconds, partition count) append to
+    ``<root>/_metrics`` for observability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fingerprint(obj) -> str:
+    import hashlib
+
+    return hashlib.md5(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()
+
+
+@dataclass
+class StageResult:
+    df: DataFrame
+    skipped: bool
+    seconds: float
+
+
+class CheckpointedJob:
+    def __init__(self, spark: SparkSession, root: str, job_params: dict | None = None):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.params_fp = _fingerprint(job_params or {})
+        os.makedirs(self.root, exist_ok=True)
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        return f"{self.root}/{stage}/data", f"{self.root}/{stage}/_LINEAGE"
+
+    def stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        inputs_fp: str = "",
+        params: dict | None = None,
+    ) -> StageResult:
+        """Run (or resume) one stage. ``build`` produces the stage DataFrame;
+        it is only invoked on a cache miss."""
+        data_path, lineage_path = self._paths(name)
+        key = {
+            "stage": name,
+            "inputs": inputs_fp,
+            "job_params": self.params_fp,
+            "params": _fingerprint(params or {}),
+        }
+        if os.path.exists(lineage_path):
+            with open(lineage_path) as fh:
+                recorded = json.load(fh)
+            if {k: recorded[k] for k in key} == key:
+                return StageResult(self.spark.read.parquet(data_path), True, 0.0)
+
+        t0 = time.perf_counter()
+        df = build()
+        df.write.mode("overwrite").parquet(data_path)
+        out = self.spark.read.parquet(data_path)
+        seconds = time.perf_counter() - t0
+
+        n_rows = out.count()
+        record = dict(
+            key,
+            rows=n_rows,
+            partitions=out.rdd.getNumPartitions(),
+            seconds=round(seconds, 3),
+            finished_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        )
+        tmp = lineage_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
+        os.replace(tmp, lineage_path)  # atomic commit: stage is done
+        self._append_metrics(record)
+        return StageResult(out, False, seconds)
+
+    def stage_fp(self, name: str) -> str:
+        """Fingerprint of a completed stage (to key downstream stages on)."""
+        _, lineage_path = self._paths(name)
+        with open(lineage_path) as fh:
+            return _fingerprint(json.load(fh))
+
+    def _append_metrics(self, record: dict) -> None:
+        with open(f"{self.root}/_metrics", "a") as fh:
+            fh.write(json.dumps(record) + "\n")

@@ -1,0 +1,108 @@
+"""Dedup + similarity-search operators on small synthetic corpora."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pysatl_cpd_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    shingles,
+    simhash_near_dups,
+    token_jaccard_pairs,
+)
+from pysatl_cpd_spark.operators.multimodal import extract_features, synthesize_media
+from pysatl_cpd_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  quick brown fox jumps over the lazy dog "),  # normalized dup
+        (4, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (5, "completely different content about spark engines"),
+        (6, "lorem ipsum dolor sit amet consectetur adipiscing"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3 and groups[0]["keep_id"] == 1
+
+
+def test_token_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] > 0.7
+    assert (1, 5) not in pairs
+
+
+def test_shingles(docs):
+    sh = shingles(docs.filter(F.col("doc_id") == 1), n=3).collect()
+    texts = {r["shingle"] for r in sh}
+    assert "the quick brown" in texts and "over the lazy" in texts
+    assert len(texts) == 7  # 9 tokens → 7 trigrams
+
+
+def test_minhash_lsh_finds_dups(docs):
+    cands = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(docs, num_hashes=32, bands=16).collect()
+    }
+    assert cands[(1, 2)] == 1.0
+    assert cands[(1, 3)] == 1.0  # normalization collapses whitespace/case
+    assert (1, 4) in cands  # near-dup shares most shingles
+
+
+def test_simhash_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 0
+    assert pairs.get((1, 4), 99) <= 10
+
+
+@pytest.fixture()
+def vectors(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(20, 8)).astype(np.float32)
+    base[7] = base[3] + rng.normal(scale=0.01, size=8).astype(np.float32)  # near 3
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    q = vectors.filter(F.col("vec_id") == 3)
+    top = cosine_topk(vectors, q, k=1).collect()
+    assert top[0]["neighbor_id"] == 7 and top[0]["cosine"] > 0.99
+
+
+def test_lsh_topk_bucket_contains_near_dup(vectors):
+    q = vectors.filter(F.col("vec_id") == 3)
+    top = lsh_cosine_topk(vectors, q, dim=8, k=3, n_planes=4).collect()
+    assert any(r["neighbor_id"] == 7 for r in top)
+
+
+def test_multimodal_features(spark):
+    media = synthesize_media(spark, n_items=12, seed=1)
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 12
+    by_id = {r["item_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # determinism: same payload hash → same feature
+    again = {r["item_id"]: r for r in extract_features(media, dim=16).collect()}
+    assert all(by_id[i]["feature"] == again[i]["feature"] for i in by_id)
+
+
+def test_multimodal_real_decode_gated(spark):
+    media = synthesize_media(spark, n_items=3, seed=1)
+    with pytest.raises(Exception):  # NotImplementedError inside executor
+        extract_features(media, real_decode=True).collect()
