@@ -12,12 +12,22 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 def events_series(events: DataFrame, value_col: str = "value") -> DataFrame:
     """events(event_id, ts, user_id, ...) → (series_id, t, value) ordered per
-    user; t is the per-user 0-based position by (ts, event_id)."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    user; t is the per-user 0-based position by (ts, event_id).
+
+    The row_number window partitions by the *cast* key so the downstream
+    groupBy(series_id).applyInPandas reuses the same hash partitioning —
+    one shuffle for the whole detect pipeline instead of two."""
+    keyed = events.select(
         F.col("user_id").cast("string").alias("series_id"),
-        (F.row_number().over(w) - F.lit(1)).alias("t"),
+        "ts",
+        "event_id",
         F.col(value_col).cast("double").alias("value"),
+    )
+    w = W.partitionBy("series_id").orderBy("ts", "event_id")
+    return keyed.select(
+        "series_id",
+        (F.row_number().over(w) - F.lit(1)).alias("t"),
+        "value",
     )
 
 
