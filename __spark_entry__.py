@@ -353,15 +353,27 @@ FROM documents
 
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups over a corpus with planted duplicates (the driver
+    corpus is dup-free, so the first 100 docs are re-injected under offset
+    ids — deterministic in both engines)."""
     from pysatl_cpd_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(docs.unionByName(planted))
 
 
 DEDUP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+)
 SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_id FROM (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-  FROM documents
+  FROM corpus
 ) GROUP BY fp HAVING count(*) > 1
 """
 
@@ -394,33 +406,35 @@ FROM (SELECT doc_id, text, regexp_replace(trim(text), '\\s+', ' ', 'g') AS sq FR
 """
 
 
-def token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pysatl_cpd_spark.operators.dedup import token_jaccard_pairs
+def shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.operators.dedup import shingle_jaccard_pairs
 
-    return token_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6).select(
-        "doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard")
-    )
+    return shingle_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.6
+    ).select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
 
 
 JACCARD_SQL = """
 WITH toks AS (
-  SELECT DISTINCT doc_id, t.token
-  FROM documents,
-       unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t(token)
-  WHERE length(t.token) > 0
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS arr
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(arr) - 2, 0))) AS g(i)
 ), sizes AS (
-  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 9) AS jaccard
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 9) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.6
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
 """
 
 
@@ -710,6 +724,160 @@ SELECT event_id, k, last_order FROM (
 """
 
 
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: revenue by nation within a region, with the
+    small dims broadcast (Catalyst picks BHJ under the 64 MB threshold)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def event_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: users seen in both error and click events (intersect),
+    users with only view events (except)."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    clk = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    viw = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    both = err.intersect(clk).select("user_id", F.lit("error_and_click").alias("tag"))
+    only_view = (
+        viw.exceptAll(err.union(clk).distinct())
+        .select("user_id", F.lit("view_only").alias("tag"))
+    )
+    return both.unionByName(only_view)
+
+
+SETOPS_SQL = """
+WITH err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+     clk AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     viw AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+SELECT user_id, 'error_and_click' AS tag FROM (SELECT * FROM err INTERSECT SELECT * FROM clk)
+UNION ALL
+SELECT user_id, 'view_only' AS tag
+FROM (SELECT * FROM viw EXCEPT SELECT user_id FROM (SELECT * FROM err UNION SELECT * FROM clk))
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _lang_id_sql() -> str:
+    from pysatl_cpd_spark.functions.text import LANG_MARKERS
+
+    score_exprs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        parts = " + ".join(
+            f"(length(padded) - length(replace(padded, '{mk}', ''))) / {len(mk)}"
+            for mk in markers
+        )
+        score_exprs.append(f"({parts}) AS score_{lang}")
+    langs = sorted(LANG_MARKERS)
+    best = f"greatest({', '.join('score_' + lang for lang in langs)})"
+    pick = "'und'"
+    for lang in reversed(langs):
+        pick = f"CASE WHEN score_{lang} = best AND best > 0 THEN '{lang}' ELSE {pick} END"
+    return f"""
+WITH padded_docs AS (
+  SELECT doc_id, ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS padded
+  FROM documents
+), scored AS (
+  SELECT doc_id, {', '.join(score_exprs)} FROM padded_docs
+), with_best AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, {pick} AS lang_guess FROM with_best
+"""
+
+
+def stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.functions.text import quality_score, stopword_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(stopword_ratio(F.col("text")), 9).alias("stopword_ratio"),
+        F.round(quality_score(F.col("text")), 9).alias("quality"),
+    )
+
+
+def _stopword_quality_sql() -> str:
+    from pysatl_cpd_spark.functions.text import EN_STOPWORDS
+
+    hits = " + ".join(
+        f"(length(padded) - length(replace(padded, ' {wrd} ', ''))) / {len(wrd) + 2}"
+        for wrd in EN_STOPWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS padded,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS sq
+  FROM documents
+), feats AS (
+  SELECT doc_id, text, padded,
+    CASE WHEN length(sq) = 0 THEN 0
+         ELSE length(sq) - length(replace(sq, ' ', '')) + 1 END AS n_tokens,
+    ({hits}) AS stop_hits,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+              / length(text) END AS punct
+  FROM base
+)
+SELECT doc_id,
+  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(stop_hits AS DOUBLE) / n_tokens END, 9)
+    AS stopword_ratio,
+  round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+   + (1.0 - least(punct * 5.0, 1.0))
+   + least(CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(stop_hits AS DOUBLE) / n_tokens END * 3.0, 1.0)
+  ) / 3.0, 9) AS quality
+FROM feats
+"""
+
+
 # ---------------------------------------------------------------------------
 # CPD queries (non-SQL-expressible → rows-only checks)
 # ---------------------------------------------------------------------------
@@ -864,21 +1032,44 @@ def lsh_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, q, dim=dim, k=5)
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups over a corpus with planted duplicates
+    (random embeddings have near-zero pairwise cosine, so the first 50
+    vectors are re-injected under offset ids)."""
+    from pysatl_cpd_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_near_dups(corpus, min_cosine=0.99, dim=dim).select(
+        "doc_a", "doc_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n_items=128, seed=42)
+    return extract_features(media, dim=16).select("item_id", "kind", "n_bytes", "sha1")
+
+
 def transcripts_cpd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: synthesize transcripts deterministically, detect turn-rate
     change points per conversation, Gorilla-encode the segments between them,
     and return per-segment summaries. (No external input — seeded.)"""
     from pysatl_cpd_spark.detectors import CusumDetector
     from pysatl_cpd_spark.operators.cpd import detect_offline
-    from pysatl_cpd_spark.operators.segments import assign_segments, encode_segments
+    from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
     from pysatl_cpd_spark.operators.series import turn_rate_series
     from pysatl_cpd_spark.sources.transcripts import transcripts_table
 
     tr = transcripts_table(spark, n_conversations=20, avg_turns=300, seed=42)
-    series = turn_rate_series(tr)
+    series = turn_rate_series(tr).cache()
     cps = detect_offline(series, lambda: CusumDetector(k=0.05, h=2.0))
-    segmented = assign_segments(series, cps)
-    return encode_segments(segmented).select(
+    return encode_segments_adaptive(series, cps).select(
         "series_id",
         "segment_id",
         "n_points",
@@ -901,13 +1092,12 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     from pysatl_cpd_spark.detectors import CusumDetector
     from pysatl_cpd_spark.operators.cpd import detect_offline
-    from pysatl_cpd_spark.operators.segments import assign_segments, encode_segments
+    from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
     from pysatl_cpd_spark.operators.series import events_series
 
-    series = events_series(_t(spark, sf_dir, "events"))
+    series = events_series(_t(spark, sf_dir, "events")).cache()
     cps = detect_offline(series, lambda: CusumDetector(k=2.0, h=20.0))
-    segmented = assign_segments(series, cps)
-    return encode_segments(segmented).drop("blob")
+    return encode_segments_adaptive(series, cps).drop("blob")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -925,10 +1115,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_scores": cusum_scores_events,
         "events_gapfill": events_gapfill,
         "asof_join": asof_join_events_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "customers_without_orders": customers_without_orders,
+        "event_user_set_ops": event_user_set_ops,
+        "lang_id_docs": lang_id_docs,
+        "stopword_quality": stopword_quality,
         "doc_fingerprints": doc_fingerprints,
         "dedup_exact": dedup_exact_docs,
         "text_quality": text_quality,
-        "token_jaccard": token_jaccard,
+        "shingle_jaccard": shingle_jaccard,
         "embeddings_cosine_topk": embeddings_cosine_topk,
         "minhash_signatures": minhash_signatures_q,
         "cpd_confusion": cpd_confusion,
@@ -947,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_pairs": simhash_pairs,
         "lsh_cosine_topk": lsh_cosine_query,
+        "embedding_near_dups": embedding_near_dup_pairs,
+        "multimodal_features": multimodal_features,
         "transcripts_cpd_rollup": transcripts_cpd_rollup,
     }
 
@@ -966,10 +1163,15 @@ def oracle_sql() -> dict[str, str]:
         "cusum_scores": CUSUM_SQL,
         "events_gapfill": GAPFILL_SQL,
         "asof_join": ASOF_SQL,
+        "q5_region_revenue": Q5_SQL,
+        "customers_without_orders": ANTI_SQL,
+        "event_user_set_ops": SETOPS_SQL,
+        "lang_id_docs": _lang_id_sql(),
+        "stopword_quality": _stopword_quality_sql(),
         "doc_fingerprints": FINGERPRINT_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "text_quality": TEXT_QUALITY_SQL,
-        "token_jaccard": JACCARD_SQL,
+        "shingle_jaccard": JACCARD_SQL,
         "embeddings_cosine_topk": COSINE_SQL,
         "minhash_signatures": _minhash_sql(),
         "cpd_confusion": CONFUSION_SQL,

@@ -32,7 +32,7 @@ HEADLINE = [
     "events_gapfill",
     "cusum_scores",
     "top_events_per_user",
-    "token_jaccard",
+    "shingle_jaccard",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embeddings_cosine_topk",
@@ -57,17 +57,25 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
     )
     from pysatl_cpd_spark.operators.cpd import detect_online
     from pysatl_cpd_spark.operators.rollup import rollup_all_tiers
-    from pysatl_cpd_spark.operators.segments import assign_segments, encode_segments
+    from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
     from pysatl_cpd_spark.operators.series import turn_rate_series
     from pysatl_cpd_spark.sources.transcripts import transcripts_table
 
     t0 = time.perf_counter()
-    tr = transcripts_table(
-        spark, n_conversations=n_conversations, avg_turns=avg_turns, seed=42
-    ).cache()
+    # manual column pruning before the cache: the detector/rollup path never
+    # touches the fat `text` column, and a UDF source blocks Catalyst pruning
+    tr = (
+        transcripts_table(
+            spark, n_conversations=n_conversations, avg_turns=avg_turns, seed=42
+        )
+        .select("conv_id", "turn_idx", "ts")
+        .cache()
+    )
     n_points = tr.count()
 
-    series = turn_rate_series(tr)
+    # the series feeds two consumers (detector branch + encode branch) —
+    # cache it so the window computes once
+    series = turn_rate_series(tr).cache()
     inner = lambda: BayesianOnlineDetector(  # noqa: E731
         ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
         HeuristicGaussianVsExponential(),
@@ -77,15 +85,18 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
     )
     factory = lambda: BayesianLinearHeuristic(inner, 500, 250)  # noqa: E731
     cps = detect_online(series, factory)
-    segmented = assign_segments(series, cps)
-    encoded = encode_segments(segmented)
+    encoded = encode_segments_adaptive(series, cps)
     encoded.count()
 
     tiers = rollup_all_tiers(
-        tr.select("conv_id", "ts", F.lit(1.0).alias("value")), ["conv_id"]
+        tr.select("conv_id", "ts", F.lit(1.0).alias("value")),
+        ["conv_id"],
+        persist_base=True,
     )
     for tier_df in tiers.values():
         tier_df.count()
+    tiers["1m"].unpersist()
+    series.unpersist()
     tr.unpersist()
     return time.perf_counter() - t0, n_points
 
@@ -93,7 +104,7 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "1500"))
     avg_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "400"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 

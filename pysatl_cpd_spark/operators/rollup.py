@@ -65,13 +65,20 @@ def rollup_all_tiers(
     ts_col: str = "ts",
     value_col: str = "value",
     tiers: tuple[Tier, ...] = DEFAULT_TIERS,
+    persist_base: bool = False,
 ) -> dict[str, DataFrame]:
     """All tiers from one source scan. The 1h/1d tiers re-aggregate the 1m
     tier (not the raw table) — hierarchical rollup so the raw scan happens
     once; counts/min/max/sum compose exactly, avg = sum/count, and
-    first/last compose by carrying bucket-edge values."""
+    first/last compose by carrying bucket-edge values.
+
+    ``persist_base=True`` caches the 1m tier so materializing all three tiers
+    scans the raw table exactly once (in a real deployment each tier is
+    written to its own table and the next tier reads it back — same effect)."""
     out: dict[str, DataFrame] = {}
     minute = rollup_tier(df, "1m", key_cols, ts_col, value_col)
+    if persist_base:
+        minute = minute.cache()
     out["1m"] = minute
     prev = minute
     for tier in ("1h", "1d"):

@@ -66,6 +66,53 @@ def encode_segments(segmented: DataFrame) -> DataFrame:
     return pruned.groupBy("series_id", "segment_id").applyInPandas(run, SEGMENT_SCHEMA)
 
 
+def encode_segments_adaptive(series_df: DataFrame, cps_df: DataFrame) -> DataFrame:
+    """Fused assign_segments + encode_segments: change-point markers arrive
+    via a broadcast join (no shuffle — cps_df is tiny relative to the
+    series), the segment split happens vectorized inside one per-series
+    grouped UDF, and the groupBy(series_id) reuses the series' existing hash
+    partitioning. One shuffle for the whole segment-materialization stage
+    instead of three (join + window + regroup)."""
+    from pyspark.sql import functions as F
+
+    markers = (
+        cps_df.select(
+            "series_id", F.col("change_point").alias("t"), F.lit(1).alias("_cp")
+        )
+        .distinct()
+    )
+    joined = series_df.select("series_id", "t", "value").join(
+        F.broadcast(markers), on=["series_id", "t"], how="left"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        ts = pdf["t"].to_numpy(dtype=np.int64)
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        seg_ids = np.cumsum(pdf["_cp"].fillna(0).to_numpy(dtype=np.int64))
+        out = {k: [] for k in (
+            "series_id", "segment_id", "n_points", "t_min", "t_max",
+            "min_value", "max_value", "first_value", "last_value", "blob",
+        )}
+        bounds = np.flatnonzero(np.diff(seg_ids)) + 1
+        for seg_ts, seg_vals, seg_id in zip(
+            np.split(ts, bounds), np.split(values, bounds), np.unique(seg_ids)
+        ):
+            out["series_id"].append(pdf["series_id"].iloc[0])
+            out["segment_id"].append(int(seg_id))
+            out["n_points"].append(len(seg_ts))
+            out["t_min"].append(int(seg_ts[0]))
+            out["t_max"].append(int(seg_ts[-1]))
+            out["min_value"].append(float(np.min(seg_vals)))
+            out["max_value"].append(float(np.max(seg_vals)))
+            out["first_value"].append(float(seg_vals[0]))
+            out["last_value"].append(float(seg_vals[-1]))
+            out["blob"].append(encode_segment(seg_ts, seg_vals))
+        return pd.DataFrame(out)
+
+    return joined.groupBy("series_id").applyInPandas(run, SEGMENT_SCHEMA)
+
+
 def decode_segments(encoded: DataFrame) -> DataFrame:
     """Inverse: explode blobs back to (series_id, segment_id, t, value)."""
 

@@ -109,10 +109,21 @@ def synthesize_transcripts(
     idx = spark.range(n_conversations).repartition(partitions, "id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate conversations and emit ~64k-row Arrow batches: one tiny
+        # batch per conversation would dominate wall time with serde overhead
+        pending: list[pd.DataFrame] = []
+        n_rows = 0
         for pdf in batches:
             for i in pdf["id"].tolist():
                 skew = hot_turns if i < hot_conversations else None
-                yield _gen_conversation(int(i), avg_turns, seed, skew)
+                conv = _gen_conversation(int(i), avg_turns, seed, skew)
+                pending.append(conv)
+                n_rows += len(conv)
+                if n_rows >= 65536:
+                    yield pd.concat(pending, ignore_index=True)
+                    pending, n_rows = [], 0
+        if pending:
+            yield pd.concat(pending, ignore_index=True)
 
     return idx.mapInPandas(gen, TRANSCRIPT_SCHEMA)
 
