@@ -10,12 +10,15 @@ happened" (prior parameters).
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Protocol
 
 import numpy as np
 import numpy.typing as npt
 
 from pysatl_cpd_spark.detectors.special import lomax_pdf, norm_pdf, student_t_pdf
+
+_LOG_PI = math.log(math.pi)
 
 FloatArray = npt.NDArray[np.float64]
 
@@ -52,6 +55,7 @@ class GaussianConjugate:
         self._k = np.empty(0)
         self._alpha = np.empty(0)
         self._beta = np.empty(0)
+        self._lg_grid = np.empty(0)  # lgamma(a0 + j/2) on the half-step grid
 
     def learn(self, sample: FloatArray) -> None:
         data = np.asarray(sample, dtype=np.float64)
@@ -63,6 +67,8 @@ class GaussianConjugate:
         self._k = np.array([float(m)])
         self._alpha = np.array([m / 2.0])
         self._beta = np.array([beta0])
+        a0 = m / 2.0
+        self._lg_grid = np.array([math.lgamma(a0), math.lgamma(a0 + 0.5)])
 
     def update(self, observation: float) -> None:
         assert self._prior is not None
@@ -73,11 +79,26 @@ class GaussianConjugate:
         self._beta = np.concatenate(([b0], beta_new))
         self._k = np.concatenate(([k0], self._k + 1.0))
         self._alpha = np.concatenate(([a0], self._alpha + 0.5))
+        # extend the lgamma grid by one half-step — O(1) amortized, replacing
+        # the O(r) vectorized lgamma every predict() would otherwise pay
+        self._lg_grid = np.append(
+            self._lg_grid, math.lgamma(a0 + 0.5 * self._lg_grid.shape[0])
+        )
 
     def predict(self, observation: float) -> FloatArray:
+        """Student-t densities for every run length. alpha_j = a0 + j/2, so
+        lgamma((df+1)/2) = grid[j+1] and lgamma(df/2) = grid[j] — cached."""
+        r = self._alpha.shape[0]
         df = 2.0 * self._alpha
-        scale = np.sqrt(self._beta * (self._k + 1.0) / (self._alpha * self._k))
-        return student_t_pdf(observation, df=df, loc=self._mu, scale=scale)
+        scale2 = self._beta * (self._k + 1.0) / (self._alpha * self._k)
+        z2 = (observation - self._mu) ** 2 / scale2
+        log_norm = (
+            self._lg_grid[1 : r + 1]
+            - self._lg_grid[:r]
+            - 0.5 * (np.log(df) + _LOG_PI + np.log(scale2))
+        )
+        log_pdf = log_norm - ((df + 1.0) / 2.0) * np.log1p(z2 / df)
+        return np.exp(log_pdf)
 
     # -- prior-probability extension (for the model-selection heuristic) --
     def log_prob_of_learned_prior(self, sample: FloatArray) -> float:
