@@ -16,15 +16,27 @@ def get_spark(
     cores: int | None = None,
     app_name: str = "pysatl_cpd_spark",
     shuffle_partitions: int | None = None,
-    driver_memory: str = "48g",
+    driver_memory: str = "16g",
 ) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # one BLAS/OMP thread per Python worker: N workers each spawning N BLAS
+    # threads oversubscribes the box N-fold and *anti-scales* at high core
+    # counts (the detector kernels are small-array numpy — threading them
+    # inside a worker only adds contention)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        # G1 with a large heap degrades progressively under 32 concurrent
+        # task threads here (repeated aggregates went 3s → 20s); throughput
+        # GC + moderate heap stays flat
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")

@@ -42,8 +42,10 @@ def run_at(cores: int, n_convs: int, avg_turns: int) -> dict:
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 600
-    avg_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    # large enough that per-series Python compute dominates fixed scheduling
+    # overhead — the scaling signal is meaningless on an overhead-bound input
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    avg_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 800
     lo = run_at(8, n_convs, avg_turns)
     hi = run_at(32, n_convs, avg_turns)
     tput_lo = lo["points"] / lo["seconds"]
