@@ -73,12 +73,20 @@ class GaussianConjugate:
     def update(self, observation: float) -> None:
         assert self._prior is not None
         mu0, k0, a0, b0 = self._prior
-        beta_new = self._beta + self._k * (observation - self._mu) ** 2 / (2.0 * self._k + 1.0)
-        mu_new = (self._mu * self._k + observation) / (self._k + 1.0)
-        self._mu = np.concatenate(([mu0], mu_new))
-        self._beta = np.concatenate(([b0], beta_new))
-        self._k = np.concatenate(([k0], self._k + 1.0))
-        self._alpha = np.concatenate(([a0], self._alpha + 0.5))
+        r = self._mu.shape[0]
+        mu = np.empty(r + 1)
+        beta = np.empty(r + 1)
+        k = np.empty(r + 1)
+        alpha = np.empty(r + 1)
+        # identical fp-operation order to the reference recursion (parity)
+        beta[1:] = self._beta + self._k * (observation - self._mu) ** 2 / (
+            2.0 * self._k + 1.0
+        )
+        mu[1:] = (self._mu * self._k + observation) / (self._k + 1.0)
+        np.add(self._k, 1.0, out=k[1:])
+        np.add(self._alpha, 0.5, out=alpha[1:])
+        mu[0], k[0], alpha[0], beta[0] = mu0, k0, a0, b0
+        self._mu, self._k, self._alpha, self._beta = mu, k, alpha, beta
         # extend the lgamma grid by one half-step — O(1) amortized, replacing
         # the O(r) vectorized lgamma every predict() would otherwise pay
         self._lg_grid = np.append(
