@@ -90,8 +90,8 @@ print(json.dumps({{"cores": cores, "seconds": total, "points": n_points,
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
-    avg_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 6000
+    avg_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 800
     subprocess.run(
         [sys.executable, "-c", PREP, str(n_convs), str(avg_turns)],
         check=True,
@@ -99,7 +99,7 @@ def main() -> None:
         capture_output=True,
     )
     results = {}
-    for cores in (8, 32):
+    for cores in (2, 8, 32):
         out = subprocess.run(
             [sys.executable, "-c", CHILD, str(cores)],
             capture_output=True,
@@ -111,26 +111,22 @@ def main() -> None:
             [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         )
 
-    lo, hi = results[8], results[32]
-    tput_lo = lo["points"] / lo["seconds"]
-    tput_hi = hi["points"] / hi["seconds"]
-    det_lo, det_hi = lo["stages"]["detect"], hi["stages"]["detect"]
     result = {
         "job": "CPD-adaptive rollup over pre-materialized series (detect→encode→tiers)",
-        "input_points": lo["points"],
-        "local8_sec": round(lo["seconds"], 2),
-        "local8_points_per_sec": round(tput_lo, 1),
-        "local32_sec": round(hi["seconds"], 2),
-        "local32_points_per_sec": round(tput_hi, 1),
-        "speedup_8_to_32": round(tput_hi / tput_lo, 3),
-        "scaling_efficiency_N_to_4N": round((tput_hi / tput_lo) / 4.0, 3),
-        "detect_stage_8_sec": det_lo,
-        "detect_stage_32_sec": det_hi,
-        "detect_stage_efficiency": round((det_lo / det_hi) / 4.0, 3),
-        "stages_8": lo["stages"],
-        "stages_32": hi["stages"],
+        "input_points": results[8]["points"],
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    for cores, r in results.items():
+        result[f"local{cores}_sec"] = round(r["seconds"], 2)
+        result[f"local{cores}_points_per_sec"] = round(r["points"] / r["seconds"], 1)
+        result[f"stages_{cores}"] = r["stages"]
+    for lo_c, hi_c in ((2, 8), (8, 32)):
+        sp = (results[hi_c]["points"] / results[hi_c]["seconds"]) / (
+            results[lo_c]["points"] / results[lo_c]["seconds"]
+        )
+        result[f"efficiency_{lo_c}_to_{hi_c}"] = round(sp / 4.0, 3)
+        det_sp = results[lo_c]["stages"]["detect"] / results[hi_c]["stages"]["detect"]
+        result[f"detect_efficiency_{lo_c}_to_{hi_c}"] = round(det_sp / 4.0, 3)
     print(json.dumps(result))
     with open("/root/repo/BENCH.md", "a") as fh:
         fh.write(
