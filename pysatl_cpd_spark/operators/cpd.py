@@ -87,6 +87,29 @@ def detect_online(
     return _prepared(series_df).groupBy("series_id").applyInPandas(run, CP_SCHEMA)
 
 
+def detect_offline_multivariate(
+    series_df: DataFrame,
+    algorithm_factory: Callable[[], WindowAlgorithm],
+) -> DataFrame:
+    """Multivariate variant: series_df is (series_id, t, vec array<double>).
+    The group matrix (n, dim) feeds detectors that accept vector observations
+    (classification / kNN / graph families)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        values = np.stack(pdf["vec"].to_numpy())
+        index = pdf["t"].to_numpy()
+        cps = algorithm_factory().localize(values)
+        return pd.DataFrame(
+            {"series_id": pdf["series_id"].iloc[0], "change_point": index[cps]}
+            if cps
+            else {"series_id": pd.Series([], dtype=str), "change_point": pd.Series([], dtype="int64")}
+        )
+
+    pruned = series_df.select("series_id", "t", "vec")
+    return pruned.groupBy("series_id").applyInPandas(run, CP_SCHEMA)
+
+
 # -- scrubber: overlapping sliding windows as a relational transform ---------
 
 

@@ -1,0 +1,39 @@
+"""Streaming continuous aggregates: watermarked tumbling-window rollup.
+
+The streaming twin of operators/rollup.py — `F.window(ts, tier)` tumbling
+windows with a watermark for late data; append mode emits a bucket once the
+watermark passes its end, which is exactly the retention-tier contract
+(finalized buckets are immutable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_TIER_DURATION = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def streaming_rollup(
+    stream_df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """stream_df: streaming frame with event-time ``ts_col``. Returns the
+    per-(key, bucket) tier summary stream (append mode once watermarked)."""
+    duration = _TIER_DURATION[tier]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.window(ts_col, duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.avg(value_col).alias("avg_value"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(*key_cols, F.col("w.start").alias("bucket"), "n_points",
+                "min_value", "max_value", "avg_value", "sum_value")
+    )
