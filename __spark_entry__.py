@@ -266,6 +266,107 @@ FROM (
 """
 
 
+def cusum_first_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First CUSUM threshold crossing per series per direction — the engine's
+    cusum_alarms operator, fully JVM-side and SQL-checkable."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, 0)
+    dev_up = F.round((F.col("value") - F.lit(10.5)) * 100).cast("long")
+    dev_dn = F.round((F.lit(9.5) - F.col("value")) * 100).cast("long")
+    base = (
+        ev.withColumn("t", F.row_number().over(w) - 1)
+        .withColumn("c_up", F.sum(dev_up).over(run))
+        .withColumn("c_dn", F.sum(dev_dn).over(run))
+        .withColumn("s_up", F.col("c_up") - F.least(F.min("c_up").over(run), F.lit(0)))
+        .withColumn("s_dn", F.col("c_dn") - F.least(F.min("c_dn").over(run), F.lit(0)))
+    )
+    h = 50000  # 500.0 scaled by 100
+    up = (
+        base.filter(F.col("s_up") > h)
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t"))
+        .select("user_id", F.lit("up").alias("direction"), "t")
+    )
+    dn = (
+        base.filter(F.col("s_dn") > h)
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t"))
+        .select("user_id", F.lit("down").alias("direction"), "t")
+    )
+    return up.unionByName(dn)
+
+
+CUSUM_ALARMS_SQL = """
+WITH base AS (
+  SELECT user_id,
+         row_number() OVER w - 1 AS t,
+         sum(CAST(round((value - 10.5) * 100) AS BIGINT)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS c_up,
+         sum(CAST(round((9.5 - value) * 100) AS BIGINT)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS c_dn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), stats AS (
+  SELECT user_id, t,
+         c_up - least(min(c_up) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING), 0) AS s_up,
+         c_dn - least(min(c_dn) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING), 0) AS s_dn
+  FROM base
+)
+SELECT user_id, 'up' AS direction, min(t) AS t FROM stats WHERE s_up > 50000 GROUP BY user_id
+UNION ALL
+SELECT user_id, 'down' AS direction, min(t) AS t FROM stats WHERE s_dn > 50000 GROUP BY user_id
+"""
+
+
+def rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-specific retention pruning: keep 1d buckets within 30 days of the
+    data's max bucket (partition-predicate delete on a real lakehouse)."""
+    tier = _rollup_events(spark, sf_dir, "day")
+    bounds = tier.agg(F.date_sub(F.max("bucket"), 30).alias("_h"))
+    return (
+        tier.join(F.broadcast(bounds))
+        .filter(F.col("bucket") >= F.col("_h"))
+        .drop("_h")
+    )
+
+
+RETENTION_SQL = """
+WITH tier AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         count(*) AS n_points, min(value) AS min_value, max(value) AS max_value,
+         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+         arg_min(CAST(round(value * 100) AS BIGINT), ts) / 100.0 AS first_value,
+         arg_max(CAST(round(value * 100) AS BIGINT), ts) / 100.0 AS last_value
+  FROM events GROUP BY 1, 2
+)
+SELECT * FROM tier
+WHERE bucket >= (SELECT max(bucket) - INTERVAL 30 DAY FROM tier)
+"""
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily counts per event_type as columns."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .count()
+        .na.fill(0)
+    )
+
+
+PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'view') AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup
+FROM events GROUP BY CAST(ts AS DATE)
+"""
+
+
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-fill on the 1h grid per event_type: LOCF + linear interpolation."""
     ev = _t(spark, sf_dir, "events")
@@ -1011,6 +1112,27 @@ def cpd_rulsif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cpd_detect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection-count mode (D2/D5) with the DropDetector component (C9)."""
+    from pysatl_cpd_spark.detectors import (
+        ArgmaxLocalizer,
+        BayesianOnlineDetector,
+        ConstantHazard,
+        DropDetector,
+        GaussianConjugate,
+    )
+    from pysatl_cpd_spark.operators.cpd import detect_counts
+
+    factory = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
+        GaussianConjugate(),
+        20,
+        DropDetector(0.3),
+        ArgmaxLocalizer(),
+    )
+    return detect_counts(_event_series(spark, sf_dir), factory)
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.operators.dedup import minhash_lsh_candidates
 
@@ -1113,6 +1235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": top_events_per_user,
         "inter_event_gaps": inter_event_gaps,
         "cusum_scores": cusum_scores_events,
+        "cusum_first_alarms": cusum_first_alarms,
+        "rollup_retention": rollup_retention,
+        "events_pivot": events_pivot,
         "events_gapfill": events_gapfill,
         "asof_join": asof_join_events_orders,
         "q5_region_revenue": q5_region_revenue,
@@ -1139,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpd_graph": cpd_graph,
         "cpd_kliep": cpd_kliep,
         "cpd_rulsif": cpd_rulsif,
+        "cpd_detect_counts": cpd_detect_counts,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_pairs": simhash_pairs,
         "lsh_cosine_topk": lsh_cosine_query,
@@ -1161,6 +1287,9 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_user": TOPK_SQL,
         "inter_event_gaps": GAPS_SQL,
         "cusum_scores": CUSUM_SQL,
+        "cusum_first_alarms": CUSUM_ALARMS_SQL,
+        "rollup_retention": RETENTION_SQL,
+        "events_pivot": PIVOT_SQL,
         "events_gapfill": GAPFILL_SQL,
         "asof_join": ASOF_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -87,6 +87,28 @@ def detect_online(
     return _prepared(series_df).groupBy("series_id").applyInPandas(run, CP_SCHEMA)
 
 
+def detect_counts(
+    series_df: DataFrame,
+    algorithm_factory: Callable[[], SeriesAlgorithm],
+) -> DataFrame:
+    """Detection-count mode (reference CpdCore.detect / OnlineCpdSolver.run
+    detect path): per-series count of change points."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        cps = algorithm_factory().process_series(values)
+        return pd.DataFrame(
+            {"series_id": [pdf["series_id"].iloc[0]], "n_change_points": [len(cps)]}
+        )
+
+    return (
+        _prepared(series_df)
+        .groupBy("series_id")
+        .applyInPandas(run, "series_id string, n_change_points long")
+    )
+
+
 def detect_offline_multivariate(
     series_df: DataFrame,
     algorithm_factory: Callable[[], WindowAlgorithm],
