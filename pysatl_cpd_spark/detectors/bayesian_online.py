@@ -87,10 +87,13 @@ class BayesianOnlineDetector:
 
     def _recursion_step(self, observation: float) -> None:
         pred = self._likelihood.predict(observation)
-        hazard = self._hazard.hazard(np.arange(self._rl_probs.shape[0], dtype=np.intp))
-        grown = self._rl_probs * (1.0 - hazard) * pred
+        r = self._rl_probs.shape[0]
+        hazard = self._hazard.hazard(np.arange(r, dtype=np.intp))
+        # fp-operation order matches the reference recursion exactly
         cp_mass = float(np.sum(self._rl_probs * hazard * pred))
-        probs = np.concatenate(([cp_mass], grown))
+        probs = np.empty(r + 1)
+        np.multiply(self._rl_probs * (1.0 - hazard), pred, out=probs[1:])
+        probs[0] = cp_mass
         evidence = float(probs.sum())
         if evidence == 0.0:
             # total posterior collapse ⇒ forced change point, restart posterior

@@ -150,8 +150,13 @@ class ExponentialConjugate:
     def update(self, observation: float) -> None:
         assert self._prior is not None
         shape0, scale0 = self._prior
-        self._shape = np.concatenate(([shape0], self._shape + 1.0))
-        self._scale = np.concatenate(([scale0], self._scale + observation))
+        r = self._shape.shape[0]
+        shape = np.empty(r + 1)
+        scale = np.empty(r + 1)
+        np.add(self._shape, 1.0, out=shape[1:])
+        np.add(self._scale, observation, out=scale[1:])
+        shape[0], scale[0] = shape0, scale0
+        self._shape, self._scale = shape, scale
 
     def predict(self, observation: float) -> FloatArray:
         pdf = lomax_pdf(observation, c=self._shape, scale=self._scale)
