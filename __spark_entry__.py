@@ -1112,6 +1112,15 @@ def cpd_rulsif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, q, dim=dim, k=5, n_lists=16, n_probe=4)
+
+
 def cpd_detect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detection-count mode (D2/D5) with the DropDetector component (C9)."""
     from pysatl_cpd_spark.detectors import (
@@ -1268,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_pairs": simhash_pairs,
         "lsh_cosine_topk": lsh_cosine_query,
+        "ivf_cosine_topk": ivf_cosine_query,
         "embedding_near_dups": embedding_near_dup_pairs,
         "multimodal_features": multimodal_features,
         "transcripts_cpd_rollup": transcripts_cpd_rollup,

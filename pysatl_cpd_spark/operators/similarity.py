@@ -120,6 +120,86 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _kmeans_numpy(x: np.ndarray, k: int, iters: int = 10, seed: int = 0) -> np.ndarray:
+    """Tiny deterministic k-means for IVF centroid training (numpy only)."""
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(x.shape[0], size=min(k, x.shape[0]), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(centroids.shape[0]):
+            members = x[assign == c]
+            if members.shape[0]:
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    train_sample: int = 2048,
+    seed: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: train coarse centroids on a driver-side sample,
+    assign every corpus vector to its nearest list (JVM-side argmin over
+    centroid literals), probe the ``n_probe`` nearest lists per query, exact
+    cosine rerank inside. The probe join is an equi-join on list id — the
+    classic inverted-file shape that avoids the cross join at scale."""
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()],
+        dtype=np.float64,
+    )
+    centroids = _kmeans_numpy(sample, n_lists, seed=seed)
+
+    def nearest_lists(vec, n):
+        """Column expr: array of the n nearest list ids to ``vec``."""
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(c)) for c in centroid]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias(f"d{i}")
+                for i, centroid in enumerate(centroids)
+            ]
+        )
+        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        pairs = F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        return F.slice(F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        nearest_lists(F.col(vec_col), 1)[0].alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(nearest_lists(F.col(vec_col), n_probe)).alias("list_id"),
+    )
+    scored = (
+        c.join(q, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec"))),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     min_cosine: float = 0.95,

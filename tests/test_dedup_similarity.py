@@ -85,6 +85,15 @@ def test_cosine_topk_exact(vectors):
     assert top[0]["neighbor_id"] == 7 and top[0]["cosine"] > 0.99
 
 
+def test_ivf_topk_finds_near_dup(vectors):
+    from pysatl_cpd_spark.operators.similarity import ivf_cosine_topk
+    from pyspark.sql import functions as F
+
+    q = vectors.filter(F.col("vec_id") == 3)
+    top = ivf_cosine_topk(vectors, q, dim=8, k=3, n_lists=4, n_probe=2).collect()
+    assert top and top[0]["neighbor_id"] == 7 and top[0]["cosine"] > 0.99
+
+
 def test_lsh_topk_bucket_contains_near_dup(vectors):
     q = vectors.filter(F.col("vec_id") == 3)
     top = lsh_cosine_topk(vectors, q, dim=8, k=3, n_planes=4).collect()
