@@ -87,6 +87,44 @@ def detect_online(
     return _prepared(series_df).groupBy("series_id").applyInPandas(run, CP_SCHEMA)
 
 
+def detect_online_instrumented(
+    series_df: DataFrame,
+    algorithm_factory: Callable[[], SeriesAlgorithm],
+) -> DataFrame:
+    """Online detection with per-series metrics rows (north-rule observability:
+    every unit of work emits lineage + metrics). Output:
+    (series_id, n_points, n_change_points, kernel_ms, change_points array)."""
+    import time
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        index = pdf["t"].to_numpy()
+        t0 = time.perf_counter()
+        cps = algorithm_factory().process_series(values)
+        kernel_ms = (time.perf_counter() - t0) * 1000.0
+        cps = [int(index[c]) for c in cps if c < len(index)]
+        return pd.DataFrame(
+            {
+                "series_id": [pdf["series_id"].iloc[0]],
+                "n_points": [len(values)],
+                "n_change_points": [len(cps)],
+                "kernel_ms": [kernel_ms],
+                "change_points": [cps],
+            }
+        )
+
+    return (
+        _prepared(series_df)
+        .groupBy("series_id")
+        .applyInPandas(
+            run,
+            "series_id string, n_points long, n_change_points long, "
+            "kernel_ms double, change_points array<long>",
+        )
+    )
+
+
 def detect_counts(
     series_df: DataFrame,
     algorithm_factory: Callable[[], SeriesAlgorithm],

@@ -1,0 +1,42 @@
+"""Per-series metrics instrumentation of the detection operator."""
+
+import numpy as np
+
+from pysatl_cpd_spark.detectors import (
+    ArgmaxLocalizer,
+    BayesianOnlineDetector,
+    ConstantHazard,
+    GaussianConjugate,
+    ThresholdDetector,
+)
+from pysatl_cpd_spark.operators.cpd import detect_online, detect_online_instrumented
+
+
+def test_instrumented_matches_plain(spark):
+    rows = []
+    for seed in (1, 2):
+        np.random.seed(seed)
+        data = np.concatenate(
+            [np.random.normal(0, 1, 250), np.random.normal(5, 2, 250)]
+        )
+        rows.extend((f"s{seed}", t, float(v)) for t, v in enumerate(data))
+    df = spark.createDataFrame(rows, "series_id string, t long, value double")
+    factory = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
+        GaussianConjugate(),
+        50,
+        ThresholdDetector(0.04),
+        ArgmaxLocalizer(),
+    )
+    plain = {
+        (r["series_id"], r["change_point"])
+        for r in detect_online(df, factory).collect()
+    }
+    inst = detect_online_instrumented(df, factory).collect()
+    from_inst = {
+        (r["series_id"], cp) for r in inst for cp in r["change_points"]
+    }
+    assert plain == from_inst
+    assert all(r["n_points"] == 500 for r in inst)
+    assert all(r["kernel_ms"] > 0 for r in inst)
+    assert all(r["n_change_points"] == len(r["change_points"]) for r in inst)
