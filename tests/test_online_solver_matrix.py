@@ -16,14 +16,15 @@ from pysatl_cpd_spark.operators.cpd import detect_counts, detect_online
 SEEDS = [42, 43, 44, 45, 46]
 
 
-def _factory():
-    return BayesianOnlineDetector(
-        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
-        GaussianConjugate(),
-        50,
-        ThresholdDetector(0.04),
-        ArgmaxLocalizer(),
-    )
+# lambda, not a def: cloudpickle must serialize by value (executors cannot
+# import the tests module)
+_factory = lambda: BayesianOnlineDetector(  # noqa: E731
+    ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
+    GaussianConjugate(),
+    50,
+    ThresholdDetector(0.04),
+    ArgmaxLocalizer(),
+)
 
 
 @pytest.fixture(scope="module")
