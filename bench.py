@@ -121,6 +121,9 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # warm the grouped-UDF path (python workers, Arrow codecs, JIT) so the
+    # flagship number measures steady-state throughput, not process startup
+    run_flagship(spark, max(n_convs // 20, 8), min(avg_turns, 200))
     flagship_sec, points = run_flagship(spark, n_convs, avg_turns)
     timings["transcripts_cpd_rollup"] = round(flagship_sec, 3)
     total = time.perf_counter() - total0
