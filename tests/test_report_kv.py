@@ -1,0 +1,42 @@
+"""Text report sink + typed KV stage storage."""
+
+import numpy as np
+
+from pysatl_cpd_spark.operators.report import (
+    change_point_report,
+    write_change_point_report,
+)
+from pysatl_cpd_spark.plans.kv_store import KvStore
+
+
+def test_change_point_report(spark, tmp_path):
+    cps = spark.createDataFrame(
+        [("b", 30), ("a", 5), ("a", 1)], "series_id string, change_point long"
+    )
+    text = change_point_report(cps)
+    assert text == "a: change_points=[1, 5]\nb: change_points=[30]\n"
+    path = str(tmp_path / "reports" / "cps.txt")
+    write_change_point_report(cps, path)
+    assert open(path).read() == text
+
+
+def test_kv_store_roundtrip(tmp_path):
+    kv = KvStore(str(tmp_path / "kv"))
+    cases = {
+        "scalar_int": 42,
+        "scalar_float": 3.5,
+        "scalar_str": "hello",
+        "a_list": [1, 2.5, "x"],
+        "a_tuple": (1, 2, 3),
+        "an_array": np.arange(5, dtype=np.float64),
+        "a_dict": {"nested": {"cps": [1, 2], "score": 0.9}},
+        "np_scalar": np.int64(7),
+    }
+    for k, v in cases.items():
+        kv.save(k, v)
+    assert kv.keys() == sorted(cases)
+    assert kv.load("scalar_int") == 42
+    assert kv.load("a_tuple") == (1, 2, 3)
+    assert np.array_equal(kv.load("an_array"), cases["an_array"])
+    assert kv.load("a_dict") == {"nested": {"cps": [1, 2], "score": 0.9}}
+    assert kv.load("np_scalar") == 7
