@@ -49,7 +49,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000) AS BIGINT)) / 10000.0 AS sum_charge,
@@ -177,8 +177,8 @@ WITH gaps AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM gaps
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -1116,9 +1116,17 @@ def ivf_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.operators.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     q = emb.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(emb, q, dim=dim, k=5, n_lists=16, n_probe=4)
+    return ivf_cosine_topk(
+        emb,
+        q,
+        dim=_EMB_DIM,
+        k=5,
+        n_lists=16,
+        n_probe=4,
+        quantize_scale=_QSCALE,
+        round_digits=9,
+    )
 
 
 def cpd_detect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1142,6 +1150,10 @@ def cpd_detect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_counts(_event_series(spark, sf_dir), factory)
 
 
+_QSCALE = 10_000_000  # embedding int64 quantization scale (matches COSINE_SQL)
+_EMB_DIM = 64  # embeddings table dimension (TESTDATA.md; asserted in pytest)
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.operators.dedup import minhash_lsh_candidates
 
@@ -1158,9 +1170,10 @@ def lsh_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     q = emb.filter(F.col("vec_id") < 10)
-    return lsh_cosine_topk(emb, q, dim=dim, k=5)
+    return lsh_cosine_topk(
+        emb, q, dim=_EMB_DIM, k=5, quantize_scale=_QSCALE, round_digits=9
+    )
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1174,10 +1187,208 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
-    dim = len(emb.select("embedding").first()[0])
-    return embedding_near_dups(corpus, min_cosine=0.99, dim=dim).select(
-        "doc_a", "doc_b", F.round("cosine", 6).alias("cosine")
+    return embedding_near_dups(
+        corpus, min_cosine=0.99, dim=_EMB_DIM, quantize_scale=_QSCALE, round_digits=6
+    ).select("doc_a", "doc_b", "cosine")
+
+
+# -- portable-oracle SQL generators for the similarity family -----------------
+
+_TOKS_CTE = """
+toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t(token)
+  WHERE length(t.token) > 0
+)"""
+
+_SCALED_CTE = f"""
+scaled AS (
+  SELECT vec_id, [CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT) FOR x IN embedding] AS sv
+  FROM embeddings
+)"""
+
+
+def _int_cosine_sql(a: str, b: str, digits: int) -> str:
+    """round(int-dot / sqrt(int-norms), digits) — mirrors _cosine_int."""
+    return (
+        f"round(CAST(list_sum([{a}[j] * {b}[j] FOR j IN range(1, {_EMB_DIM} + 1)]) AS DOUBLE) /\n"
+        f"      sqrt(CAST(list_sum([x * x FOR x IN {a}]) AS DOUBLE) *\n"
+        f"           CAST(list_sum([x * x FOR x IN {b}]) AS DOUBLE)), {digits})"
     )
+
+
+def _bucket_sql(sv: str, planes: list[list[int]]) -> str:
+    """Integer hyperplane-sign bucket — mirrors lsh_bucket(quantize_scale)."""
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum([{sv}[j] * ({lit})[j] FOR j IN range(1, {_EMB_DIM} + 1)]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _minhash_lsh_sql(num_hashes: int = 64, bands: int = 16) -> str:
+    import random
+
+    p = (1 << 31) - 1
+    rnd = random.Random(42)
+    coeffs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+    mins = ",\n  ".join(
+        f"min((h * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    rpb = num_hashes // bands
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(f"CAST(m{b * rpb + j} AS VARCHAR)" for j in range(rpb))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    # trigram shingles (shingle_n=3 over word tokens), matching dedup.shingles
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS arr
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  FROM base, unnest(generate_series(1, greatest(len(arr) - 2, 0))) AS g(i)
+), hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {p} AS h FROM sh
+), sig AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b, ({agree}) / {num_hashes}.0 AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+WITH {_TOKS_CTE.strip()}, hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h FROM toks
+), bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM hashed GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _lsh_cosine_sql(n_planes: int = 10, seed: int = 42, k: int = 5) -> str:
+    from pysatl_cpd_spark.operators.similarity import quantized_hyperplanes
+
+    planes = quantized_hyperplanes(_EMB_DIM, n_planes, seed, _QSCALE)
+    return f"""
+WITH {_SCALED_CTE.strip()}, bucketed AS (
+  SELECT vec_id, sv, {_bucket_sql("sv", planes)} AS bucket FROM scaled
+), q AS (
+  SELECT vec_id AS query_id, sv AS qv, bucket FROM bucketed WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_int_cosine_sql("c.sv", "q.qv", 9)} AS cosine
+  FROM bucketed c JOIN q USING (bucket)
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _embedding_near_dups_sql(n_planes: int = 8, seed: int = 7, min_cosine: float = 0.99) -> str:
+    from pysatl_cpd_spark.operators.similarity import quantized_hyperplanes
+
+    planes = quantized_hyperplanes(_EMB_DIM, n_planes, seed, _QSCALE)
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+), scaled AS (
+  SELECT vec_id AS doc_id,
+         [CAST(round(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT) FOR x IN embedding] AS sv
+  FROM corpus
+), bucketed AS (
+  SELECT doc_id, sv, {_bucket_sql("sv", planes)} AS bucket FROM scaled
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {_int_cosine_sql("a.sv", "b.sv", 6)} AS cosine
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE {_int_cosine_sql("a.sv", "b.sv", 6)} >= {min_cosine}
+"""
+
+
+def _ivf_cosine_sql(n_lists: int = 16, n_probe: int = 4, k: int = 5, seed: int = 0) -> str:
+    """Centroid literals are computed from the sf0.01 embeddings parquet with
+    the SAME deterministic sample + k-means the Spark operator uses (the
+    driver's oracle gate runs at sf0.01 — TESTDATA.md)."""
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    from pysatl_cpd_spark.operators.similarity import ivf_centroids_from_sample
+
+    tbl = pq.read_table("/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(tbl.column("vec_id")))[:2048]
+    sample = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)[order]
+    cents = ivf_centroids_from_sample(sample, n_lists, seed, _QSCALE)
+    values = ",\n    ".join(
+        f"({i}, [" + ", ".join(str(int(x)) for x in c) + "])" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH {_SCALED_CTE.strip()}, cents AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) t(list_id, cv)
+), dists AS (
+  SELECT s.vec_id, s.sv, c.list_id,
+         list_sum([(s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]) FOR j IN range(1, {_EMB_DIM} + 1)]) AS d
+  FROM scaled s CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, sv, list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn FROM dists
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, sv AS qv, list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+    FROM dists WHERE vec_id < 10
+  ) WHERE rn <= {n_probe}
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_int_cosine_sql("a.sv", "p.qv", 9)} AS cosine
+  FROM assign a JOIN probes p USING (list_id)
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,6 +1524,11 @@ def oracle_sql() -> dict[str, str]:
         "shingle_jaccard": JACCARD_SQL,
         "embeddings_cosine_topk": COSINE_SQL,
         "minhash_signatures": _minhash_sql(),
+        "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "lsh_cosine_topk": _lsh_cosine_sql(),
+        "ivf_cosine_topk": _ivf_cosine_sql(),
+        "embedding_near_dups": _embedding_near_dups_sql(),
         "cpd_confusion": CONFUSION_SQL,
         "scrubber_windows": SCRUBBER_SQL,
         "gorilla_roundtrip": GORILLA_SQL,

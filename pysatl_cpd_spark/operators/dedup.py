@@ -180,6 +180,8 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(
         shingles(docs, shingle_n, id_col, text_col), num_hashes, seed
     )
+    # band bucket = md5 of the comma-joined band values: portable (DuckDB
+    # computes the identical key), unlike Spark-internal murmur F.hash
     banded = sig.select(
         "doc_id",
         "signature",
@@ -188,9 +190,15 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias(
-                        "bucket"
-                    ),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
                 ),
             )
         ).alias("bb"),
@@ -246,9 +254,14 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 4 16-bit chunks
-    (pigeonhole: distance <= 3 ⇒ at least one identical chunk)."""
+    """Near-dup pairs by SimHash hamming distance, blocked on
+    ``max_hamming + 1`` disjoint bit chunks (pigeonhole: distance <=
+    max_hamming over n+1 disjoint chunks ⇒ at least one chunk identical), so
+    the blocked equi-join is *exact* — identical output to the brute-force
+    all-pairs hamming filter, at bucket-join cost."""
     sh = simhash(docs, 64, id_col, text_col)
+    n_chunks = max_hamming + 1
+    chunk_bits = -(-60 // n_chunks)  # ceil: chunks cover all 60 simhash bits
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -257,11 +270,11 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", 15 * i)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        F.shiftright("simhash", chunk_bits * i)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                         .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -279,7 +292,9 @@ def simhash_near_dups(
         .distinct()
     )
     return (
-        pairs.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

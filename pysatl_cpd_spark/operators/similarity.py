@@ -62,16 +62,53 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.normal(size=(n_planes, dim)).tolist()
 
 
+def quantized_hyperplanes(dim: int, n_planes: int, seed: int, scale: int) -> list[list[int]]:
+    """Hyperplane literals quantized to int64 — shared by the Spark plan and
+    the SQL oracle so bucket bits are exact integer comparisons on both."""
+    return [[int(round(x * scale)) for x in plane] for plane in _hyperplanes(dim, n_planes, seed)]
+
+
+def quantize_vec(col, scale: int):
+    """array<float> → array<long>, element-wise round(x * scale). The same
+    expression is portable SQL, so integer dot products match bit-for-bit."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * scale).cast("long"))
+
+
+def _dot_int(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine_int(a, b):
+    """Exact-integer cosine: int dot / sqrt(int norms) — deterministic across
+    engines up to the final double division (guarded by round() at call sites)."""
+    return _dot_int(a, b).cast("double") / F.sqrt(
+        _dot_int(a, a).cast("double") * _dot_int(b, b).cast("double")
+    )
+
+
 def lsh_bucket(
     df: DataFrame,
     dim: int,
     n_planes: int = 12,
     seed: int = 42,
     vec_col: str = "embedding",
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """Append a random-hyperplane LSH bucket id: bit i = sign(v · plane_i).
-    Planes are literals compiled into the plan (broadcast-free)."""
+    Planes are literals compiled into the plan (broadcast-free). With
+    ``quantize_scale`` both vector and planes are scaled int64 so the sign
+    test is exact integer arithmetic (SQL-oracle-portable)."""
     bucket = F.lit(0).cast("long")
+    if quantize_scale:
+        sv = quantize_vec(F.col(vec_col), quantize_scale)
+        for i, plane in enumerate(quantized_hyperplanes(dim, n_planes, seed, quantize_scale)):
+            arr = F.array(*[F.lit(int(x)).cast("long") for x in plane])
+            bucket = bucket + F.when(_dot_int(sv, arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return df.withColumn("bucket", bucket)
     for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
         arr = F.array(*[F.lit(float(x)) for x in plane])
         bucket = bucket + F.when(_dot(F.col(vec_col), arr) > 0, F.lit(1 << i)).otherwise(
@@ -89,16 +126,21 @@ def lsh_cosine_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_scale: int | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the LSH bucket, exact cosine rerank
     within. Recall grows with fewer planes / multiple tables; this single-table
-    variant is the scale skeleton (bucket equi-join instead of cross join)."""
+    variant is the scale skeleton (bucket equi-join instead of cross join).
+    ``quantize_scale`` switches bucket + rerank to exact integer arithmetic so
+    a SQL oracle reproduces the result bit-for-bit."""
     c = lsh_bucket(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
         dim,
         n_planes,
         seed,
         "cvec",
+        quantize_scale,
     )
     q = lsh_bucket(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
@@ -106,14 +148,23 @@ def lsh_cosine_topk(
         n_planes,
         seed,
         "qvec",
+        quantize_scale,
     )
+    if quantize_scale:
+        cosine = _cosine_int(
+            quantize_vec(F.col("cvec"), quantize_scale),
+            quantize_vec(F.col("qvec"), quantize_scale),
+        )
+    else:
+        cosine = _dot(F.col("cvec"), F.col("qvec")) / (
+            _norm(F.col("cvec")) * _norm(F.col("qvec"))
+        )
+    if round_digits is not None:
+        cosine = F.round(cosine, round_digits)
     scored = (
         c.join(q, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec"))),
-        )
+        .withColumn("cosine", cosine)
         .select("query_id", "neighbor_id", "cosine")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -134,6 +185,19 @@ def _kmeans_numpy(x: np.ndarray, k: int, iters: int = 10, seed: int = 0) -> np.n
     return centroids
 
 
+def ivf_centroids_from_sample(
+    sample: np.ndarray, n_lists: int, seed: int, quantize_scale: int | None = None
+) -> list[list[float]] | list[list[int]]:
+    """Train IVF coarse centroids (tiny numpy k-means) on a bounded sample.
+    With ``quantize_scale`` the centroids are int64-quantized so list
+    assignment is exact integer arithmetic (SQL-oracle-portable). Shared by
+    the Spark operator and the oracle-SQL generator."""
+    cents = _kmeans_numpy(np.asarray(sample, dtype=np.float64), n_lists, seed=seed)
+    if quantize_scale:
+        return [[int(round(float(x) * quantize_scale)) for x in c] for c in cents]
+    return [[float(x) for x in c] for c in cents]
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,55 +209,78 @@ def ivf_cosine_topk(
     seed: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_scale: int | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: train coarse centroids on a driver-side sample,
-    assign every corpus vector to its nearest list (JVM-side argmin over
-    centroid literals), probe the ``n_probe`` nearest lists per query, exact
-    cosine rerank inside. The probe join is an equi-join on list id — the
-    classic inverted-file shape that avoids the cross join at scale."""
+    """IVF approximate top-k: train coarse centroids on a bounded,
+    deterministic driver-side sample (ordered by id — no partition-order
+    dependence), assign every corpus vector to its nearest list (JVM-side
+    argmin over centroid literals), probe the ``n_probe`` nearest lists per
+    query, exact cosine rerank inside. The probe join is an equi-join on list
+    id — the classic inverted-file shape that avoids the cross join at scale.
+    ``quantize_scale`` makes assignment + rerank exact integer arithmetic."""
     sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()],
+        [r[0] for r in corpus.select(vec_col).orderBy(id_col).limit(train_sample).collect()],
         dtype=np.float64,
     )
-    centroids = _kmeans_numpy(sample, n_lists, seed=seed)
+    centroids = ivf_centroids_from_sample(sample, n_lists, seed, quantize_scale)
+
+    def centroid_lit(centroid):
+        if quantize_scale:
+            return F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+        return F.array(*[F.lit(float(c)) for c in centroid])
+
+    def sq_dist(vec, centroid):
+        if quantize_scale:
+            return F.aggregate(
+                F.zip_with(vec, centroid_lit(centroid), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                centroid_lit(centroid),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
 
     def nearest_lists(vec, n):
-        """Column expr: array of the n nearest list ids to ``vec``."""
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(c)) for c in centroid]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias(f"d{i}")
-                for i, centroid in enumerate(centroids)
-            ]
-        )
+        """Column expr: array of the n nearest list ids to ``vec``
+        (ties → lowest list id; array_sort on (d, i) structs is lexicographic)."""
+        dists = F.array(*[sq_dist(vec, c).alias(f"d{i}") for i, c in enumerate(centroids)])
         idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
         pairs = F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
         return F.slice(F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n)
 
+    if quantize_scale:
+        vec_expr = quantize_vec(F.col(vec_col), quantize_scale)
+    else:
+        vec_expr = F.col(vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        nearest_lists(F.col(vec_col), 1)[0].alias("list_id"),
+        vec_expr.alias("cvec"),
+        nearest_lists(vec_expr, 1)[0].alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(nearest_lists(F.col(vec_col), n_probe)).alias("list_id"),
+        vec_expr.alias("qvec"),
+        F.explode(nearest_lists(vec_expr, n_probe)).alias("list_id"),
     )
+    if quantize_scale:
+        cosine = _cosine_int(F.col("cvec"), F.col("qvec"))
+    else:
+        cosine = _dot(F.col("cvec"), F.col("qvec")) / (
+            _norm(F.col("cvec")) * _norm(F.col("qvec"))
+        )
+    if round_digits is not None:
+        cosine = F.round(cosine, round_digits)
     scored = (
         c.join(q, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("cvec"), F.col("qvec")) / (_norm(F.col("cvec")) * _norm(F.col("qvec"))),
-        )
+        .withColumn("cosine", cosine)
         .select("query_id", "neighbor_id", "cosine")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -207,8 +294,13 @@ def embedding_near_dups(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize_scale: int | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-blocked corpus×corpus."""
+    """Embedding-cosine near-duplicate pairs, LSH-blocked corpus×corpus.
+    ``quantize_scale`` switches to exact integer bucket/cosine arithmetic;
+    ``round_digits`` rounds the cosine *before* the threshold filter so the
+    SQL oracle's filter sees identical values."""
     assert dim is not None, "pass the embedding dimension"
     b = lsh_bucket(
         corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")),
@@ -216,16 +308,24 @@ def embedding_near_dups(
         n_planes,
         seed=7,
         vec_col="vec",
+        quantize_scale=quantize_scale,
     )
+    if quantize_scale:
+        cosine = _cosine_int(
+            quantize_vec(F.col("a.vec"), quantize_scale),
+            quantize_vec(F.col("b.vec"), quantize_scale),
+        )
+    else:
+        cosine = _dot(F.col("a.vec"), F.col("b.vec")) / (
+            _norm(F.col("a.vec")) * _norm(F.col("b.vec"))
+        )
+    if round_digits is not None:
+        cosine = F.round(cosine, round_digits)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, "bucket")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("a.vec"), F.col("b.vec"))
-            / (_norm(F.col("a.vec")) * _norm(F.col("b.vec"))),
-        )
+        .withColumn("cosine", cosine)
         .filter(F.col("cosine") >= min_cosine)
         .select(
             F.col("a.doc_id").alias("doc_a"),
