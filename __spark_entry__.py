@@ -1088,6 +1088,88 @@ def cpd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cpd_graph_sql(threshold: float = 3.0, eps: float = 5.0) -> str:
+    """SQL twin of the windowed Chen-Zhang graph test (GraphCpd.zscores):
+    per scrubber window (100/33), adjacency |vi-vj| <= eps, crossing count
+    R(tau) via cumulative difference counts, closed-form permutation
+    expectation/variance, z = -(R-E)/sqrt(V), hits at tau >= 1 with z >
+    threshold. Expression order mirrors the numpy kernel so IEEE doubles
+    agree bit-for-bit."""
+    return f"""
+WITH series AS (
+  SELECT CAST(user_id AS VARCHAR) AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+), win AS (
+  SELECT series_id, w.window_id, t, value
+  FROM series, unnest(generate_series(
+        greatest(0, CAST(ceil((t - 99) / 33.0) AS BIGINT)),
+        t // 33)) AS w(window_id)
+), wpos AS (
+  SELECT series_id, window_id,
+         row_number() OVER (PARTITION BY series_id, window_id ORDER BY t) - 1 AS i,
+         t, value
+  FROM win
+), wn AS (
+  SELECT series_id, window_id, count(*) AS n FROM wpos GROUP BY 1, 2
+), edges AS (
+  SELECT a.series_id, a.window_id, a.i AS ei, b.i AS ej
+  FROM wpos a JOIN wpos b
+    ON a.series_id = b.series_id AND a.window_id = b.window_id AND a.i < b.i
+  WHERE abs(a.value - b.value) <= {eps}
+), estats AS (
+  SELECT series_id, window_id, count(*) AS num_edges FROM edges GROUP BY 1, 2
+), ssd AS (
+  SELECT series_id, window_id, sum(d * d) AS sum_sq_deg FROM (
+    SELECT series_id, window_id, node, count(*) AS d FROM (
+      SELECT series_id, window_id, ei AS node FROM edges
+      UNION ALL
+      SELECT series_id, window_id, ej AS node FROM edges
+    ) GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+), counts AS (
+  SELECT w.series_id, w.window_id, w.i, w.t,
+         coalesce(ci.c, 0) - coalesce(cj.c, 0) AS dc
+  FROM wpos w
+  LEFT JOIN (SELECT series_id, window_id, ei AS i, count(*) AS c
+             FROM edges GROUP BY 1, 2, 3) ci USING (series_id, window_id, i)
+  LEFT JOIN (SELECT series_id, window_id, ej AS i, count(*) AS c
+             FROM edges GROUP BY 1, 2, 3) cj USING (series_id, window_id, i)
+), rtau AS (
+  SELECT series_id, window_id, i AS tau, t,
+         coalesce(sum(dc) OVER (PARTITION BY series_id, window_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+  FROM counts
+), probs AS (
+  SELECT r.series_id, r.window_id, r.tau, r.t,
+         CAST(r.r AS DOUBLE) AS rd,
+         CAST(e.num_edges AS DOUBLE) AS me,
+         CAST(s.sum_sq_deg AS DOUBLE) AS ssdg,
+         (2.0 * CAST(r.tau AS DOUBLE) * (CAST(w.n AS DOUBLE) - CAST(r.tau AS DOUBLE)))
+           / (CAST(w.n AS DOUBLE) * (CAST(w.n AS DOUBLE) - 1.0)) AS p1,
+         (4.0 * CAST(r.tau AS DOUBLE) * (CAST(r.tau AS DOUBLE) - 1.0)
+              * (CAST(w.n AS DOUBLE) - CAST(r.tau AS DOUBLE))
+              * (CAST(w.n AS DOUBLE) - CAST(r.tau AS DOUBLE) - 1.0))
+           / (CAST(w.n AS DOUBLE) * (CAST(w.n AS DOUBLE) - 1.0)
+              * (CAST(w.n AS DOUBLE) - 2.0) * (CAST(w.n AS DOUBLE) - 3.0)) AS p2
+  FROM rtau r
+  JOIN wn w USING (series_id, window_id)
+  JOIN estats e USING (series_id, window_id)
+  JOIN ssd s USING (series_id, window_id)
+  WHERE r.tau >= 1 AND w.n >= 4
+), z AS (
+  SELECT series_id, t,
+         p1 * me + (0.5 * p1 - p2) * ssdg + (p2 - p1 * p1) * (me * me) AS variance,
+         rd - p1 * me AS dev
+  FROM probs
+)
+SELECT DISTINCT series_id, t AS change_point
+FROM z
+WHERE variance > 0 AND -(dev / sqrt(variance)) > {threshold}
+"""
+
+
 def cpd_kliep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.detectors.density import KliepCpd
     from pysatl_cpd_spark.operators.cpd import detect_windowed
@@ -1391,11 +1473,77 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the approximate ANN paths (LSH, IVF) against the exact
+    cosine top-k — surfaces ANN quality as a tracked number instead of an
+    unstated property. recall = |approx ∩ exact| / |exact| over all queries."""
+    exact = embeddings_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+
+    def one(method: str, fn) -> DataFrame:
+        approx = (
+            fn(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.round(
+                    F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 9
+                ).alias("recall")
+            )
+            .select(F.lit(method).alias("method"), "recall")
+        )
+
+    return one("lsh", lsh_cosine_query).unionByName(one("ivf", ivf_cosine_query))
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({COSINE_SQL})),
+     lsh AS (SELECT query_id, neighbor_id FROM ({_lsh_cosine_sql()})),
+     ivf AS (SELECT query_id, neighbor_id FROM ({_ivf_cosine_sql()}))
+SELECT 'lsh' AS method,
+       round(CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 9) AS recall
+FROM exact e LEFT JOIN lsh l USING (query_id, neighbor_id)
+UNION ALL
+SELECT 'ivf' AS method,
+       round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 9) AS recall
+FROM exact e LEFT JOIN ivf i USING (query_id, neighbor_id)
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing surfaced to the oracle: synthesize media items
+    with md5-chain payloads, run the mapInPandas feature extractor, and emit
+    the portable fields (sha256 of the payload bytes + byte count) — the SQL
+    oracle rebuilds the identical payload string arithmetically."""
     from pysatl_cpd_spark.operators.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, n_items=128, seed=42)
-    return extract_features(media, dim=16).select("item_id", "kind", "n_bytes", "sha1")
+    return extract_features(media, dim=16).select("item_id", "kind", "n_bytes", "sha")
+
+
+MULTIMODAL_SQL = """
+WITH items AS (
+  SELECT CAST(i AS BIGINT) AS item_id FROM range(0, 128) t(i)
+), base AS (
+  SELECT item_id,
+         ['image', 'audio', 'video'][CAST(item_id % 3 AS INT) + 1] AS kind,
+         64 + CAST('0x' || substr(md5('42:' || CAST(item_id AS VARCHAR) || ':len'), 1, 8) AS BIGINT) % 1984 AS n_bytes
+  FROM items
+), payloads AS (
+  SELECT b.item_id, b.kind, b.n_bytes,
+         substr(string_agg(md5('42:' || CAST(b.item_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), '' ORDER BY j),
+                1, CAST(b.n_bytes AS INT)) AS body
+  FROM base b, range(0, 64) r(j)
+  WHERE j < (b.n_bytes + 31) // 32
+  GROUP BY b.item_id, b.kind, b.n_bytes
+)
+SELECT item_id, kind, n_bytes, sha256(body) AS sha FROM payloads
+"""
 
 
 def transcripts_cpd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1490,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": lsh_cosine_query,
         "ivf_cosine_topk": ivf_cosine_query,
         "embedding_near_dups": embedding_near_dup_pairs,
+        "ann_recall": ann_recall,
         "multimodal_features": multimodal_features,
         "transcripts_cpd_rollup": transcripts_cpd_rollup,
     }
@@ -1529,6 +1678,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_cosine_topk": _lsh_cosine_sql(),
         "ivf_cosine_topk": _ivf_cosine_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
+        "multimodal_features": MULTIMODAL_SQL,
+        "cpd_graph": _cpd_graph_sql(),
+        "ann_recall": _ann_recall_sql(),
         "cpd_confusion": CONFUSION_SQL,
         "scrubber_windows": SCRUBBER_SQL,
         "gorilla_roundtrip": GORILLA_SQL,

@@ -24,27 +24,38 @@ MEDIA_SCHEMA = (
     "height int, duration_s double"
 )
 
-FEATURE_SCHEMA = "item_id long, kind string, n_bytes long, sha1 string, feature array<float>"
+FEATURE_SCHEMA = "item_id long, kind string, n_bytes long, sha string, feature array<float>"
 
 
 def synthesize_media(spark, n_items: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table: payload = seeded bytes; metadata
-    consistent with kind."""
-    rng = np.random.default_rng(seed)
+    """Deterministic fake media table with a *portable* payload construction:
+    payload = ASCII bytes of a chained md5 hex string (block j =
+    md5(f"{seed}:{i}:{j}")) truncated to n_bytes = 64 +
+    (int(md5(f"{seed}:{i}:len")[:8], 16) % 1984). Pure md5/substr arithmetic a
+    SQL oracle reproduces bit-for-bit, while the bytes still exercise the real
+    binary-column plumbing (Arrow batches, mapInPandas)."""
+
+    def _h(tag: str) -> str:
+        return hashlib.md5(tag.encode()).hexdigest()
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n_items):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8)
+        n_bytes = 64 + int(_h(f"{seed}:{i}:len")[:8], 16) % 1984
+        body = "".join(_h(f"{seed}:{i}:{j}") for j in range((n_bytes + 31) // 32))
+        payload = body[:n_bytes].encode("ascii")
         rows.append(
             (
                 i,
                 kind,
-                bytes(payload.tobytes()),
+                payload,
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                int(rng.integers(16, 512)) if kind != "audio" else None,
-                int(rng.integers(16, 512)) if kind != "audio" else None,
-                float(rng.uniform(0.5, 30.0)) if kind != "image" else None,
+                16 + int(_h(f"{seed}:{i}:w")[:4], 16) % 496 if kind != "audio" else None,
+                16 + int(_h(f"{seed}:{i}:h")[:4], 16) % 496 if kind != "audio" else None,
+                0.5 + (int(_h(f"{seed}:{i}:d")[:4], 16) % 29500) / 1000.0
+                if kind != "image"
+                else None,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -83,14 +94,14 @@ def extract_features(media: DataFrame, dim: int = 16, real_decode: bool = False)
                 data = bytes(payload)
                 if real_decode:
                     _try_real_decode(data)
-                shas.append(hashlib.sha1(data).hexdigest())
+                shas.append(hashlib.sha256(data).hexdigest())
                 feats.append(fake_decode(data, dim))
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len),
-                    "sha1": shas,
+                    "sha": shas,
                     "feature": feats,
                 }
             )

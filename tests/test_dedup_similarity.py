@@ -115,3 +115,82 @@ def test_multimodal_real_decode_gated(spark):
     media = synthesize_media(spark, n_items=3, seed=1)
     with pytest.raises(Exception):  # NotImplementedError inside executor
         extract_features(media, real_decode=True).collect()
+
+
+def test_simhash_blocking_covers_hamming_4_to_6(spark):
+    """Pairs at hamming 4-6 were silently dropped by the old fixed-4-chunk
+    blocking (pigeonhole only guaranteed distance <= 3); blocking on
+    max_hamming+1 chunks must find them."""
+    from pysatl_cpd_spark.operators.dedup import simhash
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa"
+    )
+    variant = base + " quebec romeo"
+    docs2 = spark.createDataFrame([(1, base), (2, variant)], "doc_id long, text string")
+    hs = {r["doc_id"]: r["simhash"] for r in simhash(docs2).collect()}
+    ham = bin(hs[1] ^ hs[2]).count("1")
+    assert 4 <= ham <= 6  # planted pair sits in the previously-dropped band
+    out = simhash_near_dups(docs2, max_hamming=6).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [(1, 2, ham)]
+
+
+def test_simhash_blocking_equals_brute_force(spark):
+    """Blocked equi-join output == all-pairs hamming filter (exactness)."""
+    from pysatl_cpd_spark.operators.dedup import simhash
+
+    docs2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    blocked = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dups(docs2, max_hamming=6).collect()
+    }
+    sh = simhash(docs2).collect()
+    brute = set()
+    for i in range(len(sh)):
+        for j in range(i + 1, len(sh)):
+            a, b = sorted([sh[i], sh[j]], key=lambda r: r.doc_id)
+            h = bin(a.simhash ^ b.simhash).count("1")
+            if h <= 6:
+                brute.add((a.doc_id, b.doc_id, h))
+    assert blocked == brute
+
+
+def _clustered_vectors(spark, n_clusters=10, per=20, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim)) * 5.0
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.normal(size=dim) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_recall_on_clustered(spark):
+    """ANN recall is a measured number: IVF recall@5 >= 0.9 on data with
+    actual locality (tight clusters)."""
+    from pysatl_cpd_spark.operators.similarity import ivf_cosine_topk
+
+    corpus = _clustered_vectors(spark)
+    q = corpus.filter(F.col("vec_id") % 40 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(corpus, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_cosine_topk(corpus, q, dim=16, k=5, n_lists=8, n_probe=2).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_lsh_recall_on_clustered(spark):
+    corpus = _clustered_vectors(spark)
+    q = corpus.filter(F.col("vec_id") % 40 == 0)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(corpus, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_cosine_topk(corpus, q, dim=16, k=5, n_planes=4).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
