@@ -9,9 +9,10 @@ For every candidate split t in [n*indent, n*(1-indent)):
 finally a test statistic (threshold overcome) picks the change points and the
 indices are shifted back by the left indent.
 
-sklearn is unavailable in this environment, so KNN and logistic-regression
-classifiers are implemented in numpy; SVM / decision-tree / random-forest
-wrappers import sklearn lazily and raise a clear error when missing.
+All five classifier slots of the reference (kNN, SVM, decision tree, random
+forest, logistic regression — classification/classifiers/*) are implemented
+from scratch in numpy: kNN vote, RBF least-squares SVM, gini CART, bagged
+forest, and L2 logistic regression. No sklearn dependency anywhere.
 """
 
 from __future__ import annotations
@@ -100,46 +101,168 @@ class LogisticRegressionClassifier:
         return (xb @ self._w > 0.0).astype(np.intp)
 
 
-def _sklearn_classifier(kind: str, **kwargs):  # pragma: no cover - env-gated
-    """SVM / decision-tree / random-forest classifiers require sklearn, which
-    is absent in this image; gate behind a lazy import (same API surface as the
-    reference's classification/classifiers/{svm,decision_tree,rf}.py)."""
-    try:
-        from sklearn.ensemble import RandomForestClassifier
-        from sklearn.svm import SVC
-        from sklearn.tree import DecisionTreeClassifier
-    except ImportError as exc:
-        raise NotImplementedError(
-            f"{kind} classifier needs scikit-learn, not available in this environment"
-        ) from exc
+class RbfSvmClassifier:
+    """RBF-kernel least-squares SVM (Suykens & Vandewalle 1999, closed-form
+    kernel max-margin): solve [[0, 1ᵀ], [1, K + I/C]] [b, α] = [0, y±].
+    Fills the reference's SVC(kernel='rbf') slot
+    (classification/classifiers/svm.py:18-50) without sklearn; scrubber
+    windows are tiny (n ≈ 24 train points) so the O(n³) solve is trivial.
+    gamma=None → sklearn's 'scale' heuristic 1/(d · var(x))."""
 
-    model_cls = {"svm": SVC, "dt": DecisionTreeClassifier, "rf": RandomForestClassifier}[kind]
+    def __init__(self, c: float = 10.0, gamma: float | None = None) -> None:
+        self._c = c
+        self._gamma = gamma
+        self._x: FloatArray | None = None
+        self._alpha: FloatArray | None = None
+        self._b: float = 0.0
+        self._g: float = 1.0
 
-    class _SkWrap:
-        def __init__(self) -> None:
-            self._model = None
+    @staticmethod
+    def _sqdist(a: FloatArray, b: FloatArray) -> FloatArray:
+        return (
+            (a**2).sum(axis=1)[:, None]
+            - 2.0 * a @ b.T
+            + (b**2).sum(axis=1)[None, :]
+        )
 
-        def train(self, sample: FloatArray, barrier: int) -> None:
-            x = np.atleast_2d(np.asarray(sample, dtype=np.float64))
-            self._model = model_cls(**kwargs)
-            self._model.fit(x, _barrier_labels(x.shape[0], barrier))
+    def train(self, sample: FloatArray, barrier: int) -> None:
+        x = np.atleast_2d(np.asarray(sample, dtype=np.float64))
+        y = _barrier_labels(x.shape[0], barrier).astype(np.float64) * 2.0 - 1.0
+        var = float(x.var())
+        self._g = self._gamma if self._gamma is not None else 1.0 / (x.shape[1] * (var + 1e-12))
+        k = np.exp(-self._g * np.clip(self._sqdist(x, x), 0.0, None))
+        n = x.shape[0]
+        a = np.zeros((n + 1, n + 1))
+        a[0, 1:] = 1.0
+        a[1:, 0] = 1.0
+        a[1:, 1:] = k + np.eye(n) / self._c
+        rhs = np.concatenate([[0.0], y])
+        sol = np.linalg.solve(a, rhs)
+        self._b, self._alpha, self._x = float(sol[0]), sol[1:], x
 
-        def predict(self, sample: FloatArray) -> IntArray:
-            return self._model.predict(np.atleast_2d(np.asarray(sample, dtype=np.float64)))
+    def predict(self, sample: FloatArray) -> IntArray:
+        assert self._x is not None and self._alpha is not None
+        x = np.atleast_2d(np.asarray(sample, dtype=np.float64))
+        k = np.exp(-self._g * np.clip(self._sqdist(x, self._x), 0.0, None))
+        return (k @ self._alpha + self._b > 0.0).astype(np.intp)
 
-    return _SkWrap()
+
+def _gini_best_split(x: FloatArray, y: IntArray, feats: np.ndarray):
+    """Best (feature, threshold) by weighted gini over candidate features;
+    returns (None, None) when no impurity-reducing split exists."""
+    n = x.shape[0]
+    best_f, best_thr, best_score = None, None, np.inf
+    for f in feats:
+        order = np.argsort(x[:, f], kind="mergesort")
+        xs, ys = x[order, f], y[order]
+        ones = np.cumsum(ys)
+        total1 = ones[-1]
+        cut = np.nonzero(xs[1:] > xs[:-1])[0]  # splits between distinct values
+        if cut.size == 0:
+            continue
+        nl = cut + 1.0
+        nr = n - nl
+        l1 = ones[cut].astype(np.float64)
+        r1 = total1 - l1
+        gl = 1.0 - (l1 / nl) ** 2 - ((nl - l1) / nl) ** 2
+        gr = 1.0 - (r1 / nr) ** 2 - ((nr - r1) / nr) ** 2
+        score = (nl * gl + nr * gr) / n
+        j = int(np.argmin(score))
+        if score[j] < best_score - 1e-12:
+            best_f, best_thr, best_score = int(f), float((xs[cut[j]] + xs[cut[j] + 1]) / 2.0), float(score[j])
+    return best_f, best_thr
+
+
+class CartClassifier:
+    """CART grown to purity with gini impurity and exhaustive threshold
+    search — the reference's sklearn DecisionTreeClassifier slot
+    (classification/classifiers/decision_tree.py:18-45), from scratch.
+    ``n_sub_features``/``rng`` enable per-split feature subsampling for the
+    random forest."""
+
+    def __init__(self, max_depth: int | None = None, n_sub_features: int | None = None, rng=None) -> None:
+        self._max_depth = max_depth
+        self._n_sub = n_sub_features
+        self._rng = rng
+        self._root: tuple | None = None
+
+    def _grow(self, x: FloatArray, y: IntArray, depth: int):
+        if y.size == 0:
+            return ("leaf", 0)
+        if (y == y[0]).all() or (self._max_depth is not None and depth >= self._max_depth):
+            return ("leaf", int(y.mean() > 0.5))
+        d = x.shape[1]
+        if self._n_sub is not None and self._rng is not None and self._n_sub < d:
+            feats = self._rng.choice(d, size=self._n_sub, replace=False)
+        else:
+            feats = np.arange(d)
+        f, thr = _gini_best_split(x, y, feats)
+        if f is None:
+            return ("leaf", int(y.mean() > 0.5))
+        mask = x[:, f] <= thr
+        left = self._grow(x[mask], y[mask], depth + 1)
+        right = self._grow(x[~mask], y[~mask], depth + 1)
+        return ("node", f, thr, left, right)
+
+    def train(self, sample: FloatArray, barrier: int) -> None:
+        x = np.atleast_2d(np.asarray(sample, dtype=np.float64))
+        self.fit(x, _barrier_labels(x.shape[0], barrier))
+
+    def fit(self, x: FloatArray, y: IntArray) -> None:
+        self._root = self._grow(x, np.asarray(y, dtype=np.intp), 0)
+
+    def _predict_one(self, row: FloatArray) -> int:
+        node = self._root
+        while node[0] == "node":
+            _, f, thr, left, right = node
+            node = left if row[f] <= thr else right
+        return node[1]
+
+    def predict(self, sample: FloatArray) -> IntArray:
+        x = np.atleast_2d(np.asarray(sample, dtype=np.float64))
+        return np.array([self._predict_one(r) for r in x], dtype=np.intp)
+
+
+class RandomForestNumpyClassifier:
+    """Bagged CARTs with √d per-split feature subsampling and majority vote —
+    the reference's sklearn RandomForestClassifier slot
+    (classification/classifiers/rf.py:18-45), seeded and deterministic."""
+
+    def __init__(self, n_trees: int = 25, max_depth: int | None = None, seed: int = 0) -> None:
+        self._n_trees = n_trees
+        self._max_depth = max_depth
+        self._seed = seed
+        self._trees: list[CartClassifier] = []
+
+    def train(self, sample: FloatArray, barrier: int) -> None:
+        x = np.atleast_2d(np.asarray(sample, dtype=np.float64))
+        y = _barrier_labels(x.shape[0], barrier)
+        rng = np.random.default_rng(self._seed)
+        n, d = x.shape
+        n_sub = max(1, int(np.sqrt(d)))
+        self._trees = []
+        for _ in range(self._n_trees):
+            idx = rng.integers(0, n, size=n)
+            tree = CartClassifier(self._max_depth, n_sub_features=n_sub, rng=rng)
+            tree.fit(x[idx], y[idx])
+            self._trees.append(tree)
+
+    def predict(self, sample: FloatArray) -> IntArray:
+        x = np.atleast_2d(np.asarray(sample, dtype=np.float64))
+        votes = np.stack([t.predict(x) for t in self._trees]).mean(axis=0)
+        return (votes > 0.5).astype(np.intp)
 
 
 def svm_classifier(**kwargs):
-    return _sklearn_classifier("svm", **kwargs)
+    return RbfSvmClassifier(**kwargs)
 
 
 def decision_tree_classifier(**kwargs):
-    return _sklearn_classifier("dt", **kwargs)
+    return CartClassifier(**kwargs)
 
 
 def random_forest_classifier(**kwargs):
-    return _sklearn_classifier("rf", **kwargs)
+    return RandomForestNumpyClassifier(**kwargs)
 
 
 # -- quality metrics (parity: quality_metrics/classification/*.py) -----------

@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -102,3 +102,76 @@ class CheckpointedJob:
     def _append_metrics(self, record: dict) -> None:
         with open(f"{self.root}/_metrics", "a") as fh:
             fh.write(json.dumps(record) + "\n")
+
+    def run_chain(
+        self, specs: list["StageSpec"], initial_fields: set[str] | None = None
+    ) -> dict[str, StageResult]:
+        """Validate then run a declared stage chain. Validation happens BEFORE
+        any stage executes (the reference pipeline's config-time fail-fast,
+        pipeline.py:79-151); each stage's ``build`` receives the dict of prior
+        StageResults and its declared outputs are asserted against the actual
+        DataFrame columns after it runs."""
+        check_stage_chain(specs, initial_fields or set())
+        results: dict[str, StageResult] = {}
+        prior_fp = ""
+        for spec in specs:
+            res = self.stage(
+                spec.name,
+                lambda s=spec: s.build(results),
+                inputs_fp=prior_fp,
+                params=spec.params,
+            )
+            declared = _published(spec.outputs)
+            actual = set(res.df.columns)
+            missing = declared - actual
+            if missing:
+                raise KeyError(
+                    f"stage '{spec.name}' declared outputs {sorted(missing)} "
+                    f"absent from its actual schema {sorted(actual)}"
+                )
+            results[spec.name] = res
+            prior_fp = self.stage_fp(spec.name)
+        return results
+
+
+# -- declared stage chains with config-time compatibility validation ----------
+
+
+@dataclass
+class StageSpec:
+    """A pipeline step with declared data fields (reference step.py field
+    declaration + rename maps): ``inputs`` is a set of required field names or
+    a rename map {available_name: local_name}; ``outputs`` is a set of
+    published field names or a rename map {local_name: published_name}."""
+
+    name: str
+    build: Callable[[dict], DataFrame]
+    inputs: set | dict = field(default_factory=set)
+    outputs: set | dict = field(default_factory=set)
+    params: dict | None = None
+
+
+def _required(inputs: set | dict) -> set[str]:
+    return set(inputs.keys()) if isinstance(inputs, dict) else set(inputs)
+
+
+def _published(outputs: set | dict) -> set[str]:
+    return set(outputs.values()) if isinstance(outputs, dict) else set(outputs)
+
+
+def check_stage_chain(specs: list[StageSpec], initial_fields: set[str] | None = None) -> None:
+    """The reference pipeline's step-compatibility law (_check_two_steps,
+    pipeline.py:79-151): walking the chain, every stage's declared inputs must
+    be covered by the accumulated outputs of prior stages (plus
+    ``initial_fields``); fail at job-build time with the exact missing set
+    instead of at runtime inside Spark."""
+    available = set(initial_fields or set())
+    for spec in specs:
+        missing = _required(spec.inputs) - available
+        if missing:
+            raise KeyError(
+                f"stage '{spec.name}' requires fields {sorted(missing)} not produced by "
+                f"any prior stage; available here: {sorted(available)}. Rename a prior "
+                f"stage's outputs or fix the chain order."
+            )
+        available |= _published(spec.outputs)

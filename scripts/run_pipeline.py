@@ -26,7 +26,7 @@ from pysatl_cpd_spark.operators.metrics import confusion_matrix  # noqa: E402
 from pysatl_cpd_spark.operators.rollup import rollup_tier  # noqa: E402
 from pysatl_cpd_spark.operators.segments import encode_segments_adaptive  # noqa: E402
 from pysatl_cpd_spark.operators.series import turn_rate_series  # noqa: E402
-from pysatl_cpd_spark.plans.lineage import CheckpointedJob  # noqa: E402
+from pysatl_cpd_spark.plans.lineage import CheckpointedJob, StageSpec  # noqa: E402
 from pysatl_cpd_spark.session import get_spark  # noqa: E402
 from pysatl_cpd_spark.sources.transcripts import (  # noqa: E402
     expected_change_points,
@@ -38,19 +38,12 @@ def run(workdir: str) -> None:
     spark = get_spark(cores=8, app_name="pysatl_cpd_pipeline")
     job = CheckpointedJob(spark, workdir, {"seed": 42, "n_conv": 200, "turns": 300})
 
-    gen = job.stage(
-        "generate",
-        lambda: synthesize_transcripts(
-            spark, n_conversations=200, avg_turns=300, seed=42
-        ),
-    )
-    print(f"generate: skipped={gen.skipped} rows={gen.df.count()}")
+    def gen_stage(_):
+        return synthesize_transcripts(spark, n_conversations=200, avg_turns=300, seed=42)
 
-    gen_fp = job.stage_fp("generate")
-    detect = job.stage(
-        "detect",
-        lambda: detect_online(
-            turn_rate_series(gen.df.drop("is_cp")),
+    def detect_stage(res):
+        return detect_online(
+            turn_rate_series(res["generate"].df.drop("is_cp")),
             lambda: BayesianLinearHeuristic(
                 lambda: BayesianOnlineDetector(
                     ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
@@ -62,38 +55,61 @@ def run(workdir: str) -> None:
                 500,
                 250,
             ),
-        ),
-        inputs_fp=gen_fp,
-    )
-    print(f"detect: skipped={detect.skipped} cps={detect.df.count()}")
+        )
 
-    segments = job.stage(
-        "segments",
-        lambda: encode_segments_adaptive(
-            turn_rate_series(gen.df.drop("is_cp")), detect.df
-        ),
-        inputs_fp=job.stage_fp("detect"),
-    )
-    print(f"segments: skipped={segments.skipped} rows={segments.df.count()}")
+    def segments_stage(res):
+        return encode_segments_adaptive(
+            turn_rate_series(res["generate"].df.drop("is_cp")), res["detect"].df
+        )
 
-    tiers = job.stage(
-        "rollup_1h",
-        lambda: rollup_tier(
-            gen.df.select("conv_id", "ts", F.lit(1.0).alias("value")),
+    def rollup_stage(res):
+        return rollup_tier(
+            res["generate"].df.select("conv_id", "ts", F.lit(1.0).alias("value")),
             "1h",
             ["conv_id"],
-        ),
-        inputs_fp=gen_fp,
-    )
-    print(f"rollup_1h: skipped={tiers.skipped} rows={tiers.df.count()}")
+        )
 
-    report = job.stage(
-        "report",
-        lambda: confusion_matrix(detect.df, expected_change_points(gen.df)),
-        inputs_fp=job.stage_fp("detect"),
-    )
-    print(f"report: skipped={report.skipped}")
-    report.df.select(
+    def report_stage(res):
+        return confusion_matrix(res["detect"].df, expected_change_points(res["generate"].df))
+
+    # declared chain: inputs/outputs are validated BEFORE any stage runs
+    # (reference pipeline.py:79-151 _check_two_steps / step.py rename maps)
+    specs = [
+        StageSpec(
+            "generate",
+            gen_stage,
+            inputs=set(),
+            outputs={"conv_id", "turn_idx", "role", "text", "tool", "ts", "is_cp"},
+        ),
+        StageSpec(
+            "detect",
+            detect_stage,
+            inputs={"conv_id", "turn_idx", "ts"},
+            outputs={"series_id", "change_point"},
+        ),
+        StageSpec(
+            "segments",
+            segments_stage,
+            inputs={"series_id", "change_point", "ts"},
+            outputs={"series_id", "segment_id", "n_points"},
+        ),
+        StageSpec(
+            "rollup_1h",
+            rollup_stage,
+            inputs={"conv_id", "ts"},
+            outputs={"bucket", "n_points"},
+        ),
+        StageSpec(
+            "report",
+            report_stage,
+            inputs={"series_id", "change_point"},
+            outputs={"series_id", "precision", "recall"},
+        ),
+    ]
+    results = job.run_chain(specs)
+    for name, res in results.items():
+        print(f"{name}: skipped={res.skipped} rows={res.df.count()}")
+    results["report"].df.select(
         F.count(F.lit(1)).alias("series"),
         F.avg("precision").alias("avg_precision"),
         F.avg("recall").alias("avg_recall"),

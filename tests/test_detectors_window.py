@@ -1,11 +1,15 @@
 """Window-statistic detector families: classification, kNN, graph, density."""
 
 import numpy as np
+import pytest
 
 from pysatl_cpd_spark.detectors.classification import (
+    CartClassifier,
     ClassificationCpd,
     KnnClassifier,
     LogisticRegressionClassifier,
+    RandomForestNumpyClassifier,
+    RbfSvmClassifier,
     accuracy_quality,
     f1_quality,
     mcc_quality,
@@ -68,6 +72,50 @@ class TestClassification:
 
     def test_threshold_overcome(self):
         assert threshold_overcome([0.1, 0.9, 0.5, 0.95], 0.8) == [1, 3]
+
+
+def _scrubbed_localize(algo, data, window=48, shift=24):
+    """LinearScrubber law in numpy (reference test_classification_algorithms
+    build_solver): localize per window, remap window-local indices to global."""
+    n = len(data)
+    cps = set()
+    start = 0
+    while start < n:
+        win = data[start : start + window]
+        if len(win) == 0:
+            break
+        cps.update(start + c for c in algo.localize(win))
+        if start + window >= n:
+            break
+        start += shift
+    return sorted(cps)
+
+
+CLASSIFIER_MATRIX = [
+    ("knn", lambda: KnnClassifier(7)),
+    ("svm", lambda: RbfSvmClassifier()),
+    ("dt", lambda: CartClassifier()),
+    ("rf", lambda: RandomForestNumpyClassifier()),
+]
+
+
+class TestClassifierMatrix:
+    """Port of the reference's classifier matrix
+    (tests/test_core/test_algorithms/test_classification_algorithms.py:113-168):
+    4 classifiers x MCC, window 48, shift 0.5, threshold 0.85, indent 0.25;
+    every detection within +-24 of the true CP at 100 and at least one hit."""
+
+    @pytest.mark.parametrize("name,factory", CLASSIFIER_MATRIX, ids=[c[0] for c in CLASSIFIER_MATRIX])
+    def test_univariate(self, name, factory):
+        algo = ClassificationCpd(factory(), "mcc", 0.85, 0.25)
+        cps = _scrubbed_localize(algo, uniform_shift())
+        assert cps and all(76 <= c <= 124 for c in cps), (name, cps)
+
+    @pytest.mark.parametrize("name,factory", CLASSIFIER_MATRIX, ids=[c[0] for c in CLASSIFIER_MATRIX])
+    def test_multivariate(self, name, factory):
+        algo = ClassificationCpd(factory(), "mcc", 0.85, 0.25)
+        cps = _scrubbed_localize(algo, mvn_shift())
+        assert cps and all(76 <= c <= 124 for c in cps), (name, cps)
 
 
 class TestKnnStatistic:

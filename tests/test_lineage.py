@@ -41,3 +41,65 @@ def test_metrics_rows_emitted(spark, tmp_path):
     assert [ln["stage"] for ln in lines] == ["a", "b"]
     assert lines[0]["rows"] == 10 and lines[1]["rows"] == 5
     assert all("seconds" in ln and "partitions" in ln for ln in lines)
+
+
+def test_broken_chain_fails_before_any_stage_runs(spark, tmp_path):
+    """Reference pipeline fail-fast (_check_two_steps): a stage asking for a
+    field no prior stage publishes raises at job-build time — build() is
+    never invoked."""
+    import pytest
+
+    from pysatl_cpd_spark.plans.lineage import StageSpec
+
+    calls = {"n": 0}
+
+    def gen(_):
+        calls["n"] += 1
+        return spark.range(10).withColumn("value", F.col("id") * 1.0)
+
+    def detect(res):
+        calls["n"] += 1
+        return res["gen"].df.select("series_id")  # needs a field gen never made
+
+    specs = [
+        StageSpec("gen", gen, inputs=set(), outputs={"id", "value"}),
+        StageSpec("detect", detect, inputs={"series_id", "value"}, outputs={"change_point"}),
+    ]
+    job = CheckpointedJob(spark, str(tmp_path / "job"))
+    with pytest.raises(KeyError, match="series_id"):
+        job.run_chain(specs)
+    assert calls["n"] == 0
+
+
+def test_rename_map_satisfies_downstream(spark, tmp_path):
+    """Rename maps (reference step.py:139-169): outputs={'id': 'series_id'}
+    publishes the renamed field, satisfying the next stage's declared input."""
+    from pysatl_cpd_spark.plans.lineage import StageSpec
+
+    def gen(_):
+        return spark.range(10).withColumnRenamed("id", "series_id").withColumn(
+            "value", F.col("series_id") * 1.0
+        )
+
+    def agg(res):
+        return res["gen"].df.groupBy("series_id").agg(F.sum("value").alias("total"))
+
+    specs = [
+        StageSpec("gen", gen, inputs=set(), outputs={"id": "series_id", "value": "value"}),
+        StageSpec("agg", agg, inputs={"series_id", "value"}, outputs={"series_id", "total"}),
+    ]
+    results = CheckpointedJob(spark, str(tmp_path / "job")).run_chain(specs)
+    assert results["agg"].df.count() == 10
+
+
+def test_declared_output_missing_from_schema_fails(spark, tmp_path):
+    import pytest
+
+    from pysatl_cpd_spark.plans.lineage import StageSpec
+
+    specs = [
+        StageSpec("gen", lambda _: spark.range(3), inputs=set(), outputs={"id", "value"}),
+    ]
+    job = CheckpointedJob(spark, str(tmp_path / "job"))
+    with pytest.raises(KeyError, match="value"):
+        job.run_chain(specs)
