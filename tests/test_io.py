@@ -27,3 +27,25 @@ def test_csv_roundtrip(spark, tmp_path):
     assert orig["series_id"].tolist() == back["series_id"].tolist()
     got_cps = {(r["series_id"], r["change_point"]) for r in cps2.collect()}
     assert got_cps == {("ds_a", 10), ("ds_a", 25), ("ds_b", 5)}
+
+
+def test_asciidoc_description_written(spark, tmp_path):
+    """S5 parity: per-dataset description.adoc in the reference's AsciiDoc
+    shape (generator/dataset_description.py:62-100)."""
+    from pysatl_cpd_spark.sources.io import write_labeled_dataset
+
+    series = spark.createDataFrame(
+        [("a", t, float(t < 3)) for t in range(6)], "series_id string, t long, value double"
+    )
+    cps = spark.createDataFrame([("a", 3)], "series_id string, change_point long")
+    write_labeled_dataset(
+        series, cps, str(tmp_path),
+        descriptions={"a": [{"type": "normal", "mean": 0.0, "variance": 1.0},
+                            {"type": "normal", "mean": 10.0, "variance": 1.0}]},
+    )
+    adoc = (tmp_path / "a" / "description.adoc").read_text()
+    assert "= Sample a" in adoc
+    assert "Sample length:: 6" in adoc
+    assert "Sub-samples lengths:: [3, 3]" in adoc
+    assert "Change points:: [3]" in adoc
+    assert ". normal" in adoc and "mean:: 10.0" in adoc
