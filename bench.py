@@ -91,11 +91,10 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
     tiers = rollup_all_tiers(
         tr.select("conv_id", "ts", F.lit(1.0).alias("value")),
         ["conv_id"],
-        persist_base=True,
+        base_table_path="/tmp/bench_rollup_1m.parquet",
     )
     for tier_df in tiers.values():
         tier_df.count()
-    tiers["1m"].unpersist()
     series.unpersist()
     tr.unpersist()
     return time.perf_counter() - t0, n_points

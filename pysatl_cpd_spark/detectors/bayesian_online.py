@@ -88,11 +88,18 @@ class BayesianOnlineDetector:
     def _recursion_step(self, observation: float) -> None:
         pred = self._likelihood.predict(observation)
         r = self._rl_probs.shape[0]
-        hazard = self._hazard.hazard(np.arange(r, dtype=np.intp))
+        # constant hazard: scalar broadcast multiplies are bit-identical to
+        # the full(h) vector the reference builds, minus two allocations/step
+        if isinstance(self._hazard, ConstantHazard):
+            hazard: float | FloatArray = self._hazard.probability
+            one_minus = 1.0 - hazard
+        else:
+            hazard = self._hazard.hazard(np.arange(r, dtype=np.intp))
+            one_minus = 1.0 - hazard
         # fp-operation order matches the reference recursion exactly
         cp_mass = float(np.sum(self._rl_probs * hazard * pred))
         probs = np.empty(r + 1)
-        np.multiply(self._rl_probs * (1.0 - hazard), pred, out=probs[1:])
+        np.multiply(self._rl_probs * one_minus, pred, out=probs[1:])
         probs[0] = cp_mass
         evidence = float(probs.sum())
         if evidence == 0.0:

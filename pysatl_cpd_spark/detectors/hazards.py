@@ -17,5 +17,10 @@ class ConstantHazard:
             raise ValueError("hazard rate must be >= 1.0")
         self._rate = float(rate)
 
+    @property
+    def probability(self) -> float:
+        """The constant per-step hazard probability 1/rate."""
+        return 1.0 / self._rate
+
     def hazard(self, run_lengths: npt.NDArray[np.intp]) -> npt.NDArray[np.float64]:
         return np.full(len(run_lengths), 1.0 / self._rate)

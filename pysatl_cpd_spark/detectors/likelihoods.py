@@ -16,7 +16,12 @@ from typing import Optional, Protocol
 import numpy as np
 import numpy.typing as npt
 
-from pysatl_cpd_spark.detectors.special import lomax_pdf, norm_pdf, student_t_pdf
+from pysatl_cpd_spark.detectors.special import (
+    lomax_pdf,
+    norm_pdf,
+    sanitize_pdf,
+    student_t_pdf,
+)
 
 _LOG_PI = math.log(math.pi)
 
@@ -160,12 +165,12 @@ class ExponentialConjugate:
 
     def predict(self, observation: float) -> FloatArray:
         pdf = lomax_pdf(observation, c=self._shape, scale=self._scale)
-        return np.nan_to_num(pdf, nan=0.0)
+        return sanitize_pdf(pdf)
 
     def prob_of_learned_prior(self, sample: FloatArray) -> float:
         assert self._prior is not None
         shape0, scale0 = self._prior
-        probs = np.nan_to_num(lomax_pdf(np.asarray(sample), c=shape0, scale=scale0), nan=0.0)
+        probs = sanitize_pdf(lomax_pdf(np.asarray(sample), c=shape0, scale=scale0))
         return float(np.prod(probs))
 
 

@@ -31,6 +31,29 @@ _LANCZOS_COEF = np.array(
     ]
 )
 _SQRT_2PI = 2.5066282746310005
+_F64_MAX = float(np.finfo(np.float64).max)
+_QUIET = False
+
+
+def _quiet_fp() -> None:
+    """Silence divide/invalid warnings process-wide, once. The BOCPD kernels
+    intentionally produce inf/NaN for impossible parameters and sanitize them
+    afterwards; a per-call ``np.errstate`` context costs two seterr round
+    trips per observation — measurable at ~8k predict calls per series."""
+    global _QUIET
+    if not _QUIET:
+        np.seterr(divide="ignore", invalid="ignore")
+        _QUIET = True
+
+
+def sanitize_pdf(pdf: npt.NDArray[np.float64]) -> npt.NDArray[np.float64]:
+    """np.nan_to_num semantics (nan→0.0, ±inf→±float64 max) with a cheap
+    all-finite fast path — nan_to_num's generic wrapper dominated the
+    detector profile at 19% despite finite inputs being the norm."""
+    if np.isfinite(pdf).all():
+        return pdf
+    pdf = np.where(np.isnan(pdf), 0.0, pdf)
+    return np.clip(pdf, -_F64_MAX, _F64_MAX)
 
 
 def lgamma(x: npt.ArrayLike) -> npt.NDArray[np.float64]:
@@ -73,13 +96,13 @@ def lomax_pdf(
     x < 0 → 0.0; non-positive scale → NaN (the caller maps NaN → 0, mirroring
     the reference's nan_to_num at exponential_conjugate.py:77-79).
     """
+    _quiet_fp()
     x = np.asarray(x, dtype=np.float64)
     c = np.asarray(c, dtype=np.float64)
     scale = np.asarray(scale, dtype=np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        pdf = c / scale * np.power(1.0 + x / scale, -c - 1.0)
-        pdf = np.where(x < 0, 0.0, pdf)
-        pdf = np.where(scale <= 0, np.nan, pdf)
+    pdf = c / scale * np.power(1.0 + x / scale, -c - 1.0)
+    pdf = np.where(x < 0, 0.0, pdf)
+    pdf = np.where(scale <= 0, np.nan, pdf)
     return np.asarray(pdf, dtype=np.float64)
 
 

@@ -82,11 +82,11 @@ def run_once():
     stages["encode"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     tiers = rollup_all_tiers(raw.select("conv_id", "ts", F.lit(1.0).alias("value")),
-                             ["conv_id"], persist_base=True)
+                             ["conv_id"], base_table_path="/tmp/scaling_rollup_1m.parquet")
     for d in tiers.values(): d.count()
     stages["rollup"] = time.perf_counter() - t0
     total = time.perf_counter() - t_all
-    tiers["1m"].unpersist(); cps.unpersist(); series_c.unpersist()
+    cps.unpersist(); series_c.unpersist()
     return total, n_points, stages
 
 run_once()
