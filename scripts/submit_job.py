@@ -26,7 +26,12 @@ sys.path.insert(0, "/root/repo")
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", default=None, help="transcripts parquet path (default: synthesize)")
+    ap.add_argument(
+        "--input",
+        default=None,
+        help="transcripts table ref: iceberg:catalog.db.table | parquet:/path | /path "
+        "(default: synthesize)",
+    )
     ap.add_argument("--workdir", default="/tmp/pysatl_cpd_job")
     ap.add_argument("--local", type=int, default=None, help="local[N] proxy mode")
     ap.add_argument("--n-conversations", type=int, default=1000)
@@ -63,7 +68,9 @@ def main() -> None:
 
     def load():
         if args.input:
-            return spark.read.parquet(args.input).select("conv_id", "turn_idx", "ts")
+            from pysatl_cpd_spark.sources.catalog import load_table
+
+            return load_table(spark, args.input).select("conv_id", "turn_idx", "ts")
         return transcripts_table(
             spark, n_conversations=args.n_conversations, avg_turns=args.avg_turns, seed=42
         ).select("conv_id", "turn_idx", "ts")

@@ -49,3 +49,25 @@ def test_asciidoc_description_written(spark, tmp_path):
     assert "Sub-samples lengths:: [3, 3]" in adoc
     assert "Change points:: [3]" in adoc
     assert ". normal" in adoc and "mean:: 10.0" in adoc
+
+
+def test_catalog_parquet_roundtrip_and_iceberg_gate(spark, tmp_path):
+    """Table refs: parquet path round-trips with day partitioning; the
+    iceberg: branch fails with the deployment recipe when no Iceberg catalog
+    is on the session (this container ships no runtime jar)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pysatl_cpd_spark.sources.catalog import load_table, write_table
+
+    df = spark.createDataFrame(
+        [("c1", 0, "2024-01-01 00:00:00"), ("c1", 1, "2024-01-02 00:00:00")],
+        "conv_id string, turn_idx int, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    path = str(tmp_path / "tr")
+    write_table(df, path, mode="create")
+    back = load_table(spark, f"parquet:{path}")
+    assert back.count() == 2 and "_day" in back.columns
+
+    with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
+        load_table(spark, "iceberg:ice.db.transcripts")
