@@ -70,3 +70,52 @@ def test_multivariate_detection(spark):
     got = out.groupBy("series_id").agg(F.min("change_point").alias("first_cp")).collect()
     assert len(got) == 2
     assert all(76 <= r["first_cp"] <= 124 for r in got)
+
+
+def test_streaming_rollup_drops_late_data(spark, tmp_path):
+    """Watermark semantics: rows arriving after the watermark passed their
+    bucket are dropped (finalized buckets are immutable — the retention-tier
+    contract). Two micro-batches: batch 2 carries a row 2 hours older than
+    the advanced watermark; the emitted bucket must NOT include it."""
+    import time
+
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+    schema = "key string, ts timestamp, value double"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(str(in_dir / f"{name}.parquet"))
+
+    # batch 1: bucket 10:00 with 2 points, then event time jumps to 13:00
+    write_batch(
+        "b1",
+        [
+            ("a", "2024-01-01 10:00:05", 1.0),
+            ("a", "2024-01-01 10:00:20", 2.0),
+            ("a", "2024-01-01 13:00:00", 9.0),
+        ],
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(in_dir))
+    out = streaming_rollup(stream, "1m", ["key"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a row for the long-finalized 10:00 bucket (2h late vs watermark)
+    write_batch("b2", [("a", "2024-01-01 10:00:40", 100.0)])
+    time.sleep(1)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT * FROM late_out WHERE bucket = timestamp'2024-01-01 10:00:00'"
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["n_points"] == 2 and got[0]["max_value"] == 2.0  # late row dropped
