@@ -114,16 +114,26 @@ def main() -> None:
     # warm the JVM/Arrow paths once
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
+    # each timing = min of REPS back-to-back runs (default 2): this VM shows
+    # ±40% single-run noise (same code, same input, minutes apart), so a
+    # single sample mostly measures weather; min-of-N is the standard
+    # steady-state estimator. SPARK_GRAFT_BENCH_REPS=1 restores single-shot.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     total0 = time.perf_counter()
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # warm the grouped-UDF path (python workers, Arrow codecs, JIT) so the
     # flagship number measures steady-state throughput, not process startup
     run_flagship(spark, max(n_convs // 20, 8), min(avg_turns, 200))
     flagship_sec, points = run_flagship(spark, n_convs, avg_turns)
+    for _ in range(reps - 1):
+        flagship_sec = min(flagship_sec, run_flagship(spark, n_convs, avg_turns)[0])
     timings["transcripts_cpd_rollup"] = round(flagship_sec, 3)
     total = time.perf_counter() - total0
 
