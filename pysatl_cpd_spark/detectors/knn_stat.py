@@ -117,6 +117,13 @@ class KnnCpd:
         n = x.shape[0]
         if n == 0:
             return []
+        # degenerate guard (deviation from the reference, which never feeds
+        # constant data): with all observations identical every pairwise
+        # distance ties at 0, the k-NN graph is an artifact of index order,
+        # and the statistic flags a spurious CP at the window midpoint — a
+        # constant series carries no evidence of change by definition
+        if np.all(x == x.flat[0]):
+            return []
         first = int(n * self._indent)
         last = int(n * (1 - self._indent))
         assessments = self.assess_all(x)[first:last].tolist()

@@ -24,7 +24,30 @@ SHOW = [
     "embeddings_cosine_topk",
     "cpd_bocpd_offline",
     "gorilla_roundtrip",
+    "minhash_lsh_pairs",
+    "ivf_cosine_topk",
+    "transcripts_cpd_rollup",
 ]
+
+GATE_SECTION = """
+## Flagship gate (transcripts_cpd_rollup) — annotated
+
+The JVM CUSUM pre-filter feeding the detector UDF via a broadcast semi-join:
+
+```
+FlatMapGroupsInPandas [series_id], run(...)          <- detector (pandas UDF)
+  +- BroadcastHashJoin [series_id], [series_id], LeftSemi, BuildRight
+     +- BroadcastExchange HashedRelationBroadcastMode(...)
+        +- Window [min(_cn) ... rows unbounded preceding..current]
+           +- Window [sum(_w0) ...]      <- reset-free CUSUM (both directions)
+              +- Window [avg(_w0) ...]   <- learned mu (first 50 points)
+                 +- Window [row_number() ...]
+```
+
+Whole gate is window functions + one broadcast — zero Python until the
+semi-joined (alarmed-only) groups reach the UDF. Gating is exact
+(tests/test_spark_operators.py::test_cusum_prefilter_gating_is_exact).
+"""
 
 
 def summarize(plan: str) -> dict:
@@ -47,9 +70,21 @@ def main() -> None:
     out = ["# PLANS — physical-plan evidence (sf0.01, local[8])\n"]
     for name in SHOW:
         df = qs[name](spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        # AQE wraps the un-executed plan and hides codegen subtrees; rebuild
+        # the query with AQE off just for the codegen count
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            codegen = qs[name](spark, SF_DIR)._jdf.queryExecution().explainString(mode)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", codegen)
         out.append(f"## {name}\n")
-        for k, v in summarize(plan).items():
+        summary = summarize(plan)
+        summary["wholestage codegen spans"] = int(m.group(1)) if m else 0
+        for k, v in summary.items():
             out.append(f"- {k}: {v}")
         pushed = [
             ln.strip()[:200]
@@ -64,6 +99,7 @@ def main() -> None:
             out.append("- scan schemas (column pruning):")
             out.extend(f"  - `{s[:160]}`" for s in scans[:4])
         out.append("")
+    out.append(GATE_SECTION)
     with open("/root/repo/PLANS.md", "w") as fh:
         fh.write("\n".join(out))
     print("wrote PLANS.md")

@@ -215,3 +215,74 @@ class TestComponents:
         lik = Gaussian()
         lik.learn(gauss_shift()[:50])
         assert lik.predict(1.0).shape[0] == 1
+
+
+class TestEdgeCases:
+    """Degenerate inputs every detector must survive: empty, single point,
+    constant series, NaN values — the long tail a 10^12-turn table WILL
+    contain."""
+
+    def _all_factories(self):
+        from pysatl_cpd_spark.detectors import (
+            ArgmaxLocalizer,
+            BayesianOnlineDetector,
+            ConstantHazard,
+            CusumDetector,
+            GaussianConjugate,
+            ThresholdDetector,
+        )
+        from pysatl_cpd_spark.detectors.classification import (
+            ClassificationCpd,
+            KnnClassifier,
+        )
+        from pysatl_cpd_spark.detectors.graph_stat import GraphCpd
+        from pysatl_cpd_spark.detectors.knn_stat import KnnCpd
+
+        offline = [
+            CusumDetector(k=0.5, h=5.0),
+            ClassificationCpd(KnnClassifier(3), "mcc", 0.85, 0.25),
+            KnnCpd(threshold=4.5, indent_coeff=0.25, k=3),
+            GraphCpd(lambda a, b: np.abs(a - b) <= 1.0, 3.0),
+        ]
+        online = [
+            BayesianOnlineDetector(
+                ConstantHazard(250.0),
+                GaussianConjugate(),
+                5,
+                ThresholdDetector(0.04),
+                ArgmaxLocalizer(),
+            )
+        ]
+        return offline, online
+
+    def test_empty_and_single_point(self):
+        offline, online = self._all_factories()
+        for det in offline:
+            assert det.localize(np.array([])) == []
+            assert det.localize(np.array([1.0])) == []
+        for det in online:
+            assert det.process_series(np.array([])) == []
+            det.clear()
+            assert det.process_series(np.array([1.0])) == []
+
+    def test_constant_series_no_detections(self):
+        offline, online = self._all_factories()
+        const = np.full(200, 3.25)
+        for det in offline:
+            assert det.localize(const) == [], type(det).__name__
+        for det in online:
+            det.clear()
+            assert det.process_series(const) == [], type(det).__name__
+
+    def test_nan_values_do_not_crash(self):
+        """NaNs must not raise; detections on NaN-poisoned data are
+        unspecified but bounded (no infinite loops, indices in range)."""
+        offline, online = self._all_factories()
+        data = np.concatenate([np.zeros(50), [np.nan] * 5, np.ones(50)])
+        for det in offline:
+            cps = det.localize(data)
+            assert all(0 <= c < len(data) for c in cps), type(det).__name__
+        for det in online:
+            det.clear()
+            cps = det.process_series(data)
+            assert all(0 <= c < len(data) for c in cps), type(det).__name__
