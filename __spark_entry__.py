@@ -1473,6 +1473,57 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-pretokenizer token counts per document — the LLM
+    token-budget estimate as a pure JVM regexp (no Python)."""
+    from pysatl_cpd_spark.functions.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_token_sql() -> str:
+    from pysatl_cpd_spark.functions.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+  CAST(CASE WHEN length(sq) = 0 THEN 0
+       ELSE length(sq) - length(replace(sq, ' ', '')) + 1 END AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, text, regexp_replace(trim(text), '\\s+', ' ', 'g') AS sq FROM documents)
+"""
+
+
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pysatl_cpd_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
+
+
+WINNOW_SQL = """
+WITH docs_n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS txt
+  FROM documents
+), g AS (
+  SELECT doc_id, t.i AS pos, length(txt) - 8 + 1 AS n_g,
+         CAST('0x' || substr(md5(substr(txt, CAST(t.i AS INT), 8)), 1, 15) AS BIGINT) AS h
+  FROM docs_n, unnest(generate_series(1, length(txt) - 8 + 1)) AS t(i)
+  WHERE length(txt) >= 8
+), m AS (
+  SELECT doc_id, pos, n_g,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM g
+)
+SELECT DISTINCT doc_id, fingerprint FROM m WHERE pos <= n_g - 4 + 1
+"""
+
+
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the approximate ANN paths (LSH, IVF) against the exact
     cosine top-k — surfaces ANN quality as a tracked number instead of an
@@ -1649,6 +1700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": ivf_cosine_query,
         "embedding_near_dups": embedding_near_dup_pairs,
         "ann_recall": ann_recall,
+        "bpe_token_counts": bpe_token_counts,
+        "winnow_fingerprints": winnow_fingerprints_q,
         "multimodal_features": multimodal_features,
         "transcripts_cpd_rollup": transcripts_cpd_rollup,
     }
@@ -1691,6 +1744,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": MULTIMODAL_SQL,
         "cpd_graph": _cpd_graph_sql(),
         "ann_recall": _ann_recall_sql(),
+        "bpe_token_counts": _bpe_token_sql(),
+        "winnow_fingerprints": WINNOW_SQL,
         "cpd_confusion": CONFUSION_SQL,
         "scrubber_windows": SCRUBBER_SQL,
         "gorilla_roundtrip": GORILLA_SQL,

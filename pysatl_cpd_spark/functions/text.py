@@ -34,6 +34,19 @@ def char_count(col: Column) -> Column:
     return F.length(col)
 
 
+# GPT-2-style pretokenizer pattern, restricted to the lookahead-free subset
+# both Spark (java.util.regex) and DuckDB (RE2) compile identically:
+# contractions, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-ish token count via the BPE pretokenizer regex — the cheap
+    JVM-side proxy for LLM token budgeting (exact BPE needs the merges table;
+    the pretokenizer split is the count that matters for budget estimates)."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN))
+
+
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are .,;:!? punctuation."""
     stripped = F.regexp_replace(col, r"[.,;:!?]", "")

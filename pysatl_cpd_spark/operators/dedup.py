@@ -229,6 +229,46 @@ def minhash_lsh_candidates(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every character k-gram of the normalized text, slide a
+    window of ``w`` consecutive k-gram hashes, keep the minimum of each
+    window, emit the distinct minima — the local-fingerprint set that
+    guarantees any shared substring of length >= k + w - 1 produces a shared
+    fingerprint. Pure JVM (substr + md5-hash + window min), one shuffle, and
+    SQL-oracle portable."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), norm.alias("txt"))
+        .filter(F.length("txt") >= k)
+        .withColumn("n_g", F.length("txt") - k + 1)
+    )
+    grams = base.select(
+        "doc_id",
+        "n_g",
+        F.explode(F.sequence(F.lit(1), F.col("n_g"))).alias("pos"),
+        "txt",
+    ).select(
+        "doc_id",
+        "n_g",
+        "pos",
+        token_hash64(F.col("txt").substr(F.col("pos"), F.lit(k))).alias("h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fingerprint", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_g") - w + 1)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash per document: sign-sum of token-hash bits. Relational form:
     explode tokens → per-bit ±1 contributions → groupBy doc → sign. The

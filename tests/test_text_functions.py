@@ -67,3 +67,37 @@ def test_fingerprint_normalizes(spark):
 def test_quality_score_bounds(spark, docs):
     out = docs.select(quality_score(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in out)
+
+
+def test_bpe_token_count(spark):
+    from pysatl_cpd_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "it's a test-case with 42 tokens, isn't it?"), (2, ""), (3, "hello")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n for r in df.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got[1] == 14 and got[2] == 0 and got[3] == 1
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing law (Schleimer et al. 2003): documents sharing a substring
+    of length >= k + w - 1 share at least one fingerprint."""
+    from pysatl_cpd_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"  # len 43 >= 8+4-1
+    docs = spark.createDataFrame(
+        [
+            (1, "PREFIX one " + shared + " SUFFIX alpha"),
+            (2, "totally different opener " + shared + " and closer"),
+            (3, "no overlap here at all, nothing in common whatsoever xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared substring must produce a shared fingerprint"
+    # doc 3 shares far less with doc 1 than the planted pair does
+    assert len(by_doc[1] & by_doc[3]) < len(by_doc[1] & by_doc[2])
