@@ -1546,23 +1546,48 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(method).alias("method"), "recall")
         )
 
-    return one("lsh", lsh_cosine_query).unionByName(one("ivf", ivf_cosine_query))
+    def ivf8(s: SparkSession, d: str) -> DataFrame:
+        from pysatl_cpd_spark.operators.similarity import ivf_cosine_topk
+
+        emb = _t(s, d, "embeddings")
+        return ivf_cosine_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            dim=_EMB_DIM,
+            k=5,
+            n_lists=16,
+            n_probe=8,
+            quantize_scale=_QSCALE,
+            round_digits=9,
+        )
+
+    return (
+        one("lsh", lsh_cosine_query)
+        .unionByName(one("ivf_probe4", ivf_cosine_query))
+        .unionByName(one("ivf_probe8", ivf8))
+    )
 
 
 def _ann_recall_sql() -> str:
     return f"""
 WITH exact AS (SELECT query_id, neighbor_id FROM ({COSINE_SQL})),
      lsh AS (SELECT query_id, neighbor_id FROM ({_lsh_cosine_sql()})),
-     ivf AS (SELECT query_id, neighbor_id FROM ({_ivf_cosine_sql()}))
+     ivf4 AS (SELECT query_id, neighbor_id FROM ({_ivf_cosine_sql(n_probe=4)})),
+     ivf8 AS (SELECT query_id, neighbor_id FROM ({_ivf_cosine_sql(n_probe=8)}))
 SELECT 'lsh' AS method,
        round(CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 9) AS recall
 FROM exact e LEFT JOIN lsh l USING (query_id, neighbor_id)
 UNION ALL
-SELECT 'ivf' AS method,
+SELECT 'ivf_probe4' AS method,
        round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 9) AS recall
-FROM exact e LEFT JOIN ivf i USING (query_id, neighbor_id)
+FROM exact e LEFT JOIN ivf4 i USING (query_id, neighbor_id)
+UNION ALL
+SELECT 'ivf_probe8' AS method,
+       round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 9) AS recall
+FROM exact e LEFT JOIN ivf8 i USING (query_id, neighbor_id)
 """
 
 
