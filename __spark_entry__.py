@@ -1473,6 +1473,34 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def rollup_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count tier, exercised through the FULL hierarchy
+    (raw → 1m sketches → 1h union → 1d union): distinct users per
+    (event_type, day). DataSketches HLL is exact below its coupon bound, and
+    per-bucket cardinality at the oracle scale (sf0.01, ≤67 users) sits
+    far under it, so the estimate is value-comparable to DuckDB's exact
+    count(DISTINCT) — the sketch-union plumbing itself is what this verifies."""
+    from pysatl_cpd_spark.operators.rollup import rollup_distinct_hierarchy
+
+    ev = _t(spark, sf_dir, "events")
+    day = rollup_distinct_hierarchy(ev, ["event_type"])["1d"]
+    return day.select(
+        "event_type",
+        "bucket",
+        "n_points",
+        F.round("distinct_est").cast("long").alias("n_distinct_users"),
+    )
+
+
+DISTINCT_DAILY_SQL = """
+SELECT event_type, date_trunc('day', ts) AS bucket,
+       count(*) AS n_points,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-pretokenizer token counts per document — the LLM
     token-budget estimate as a pure JVM regexp (no Python)."""
@@ -1727,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": ann_recall,
         "bpe_token_counts": bpe_token_counts,
         "winnow_fingerprints": winnow_fingerprints_q,
+        "rollup_distinct_daily": rollup_distinct_daily,
         "multimodal_features": multimodal_features,
         "transcripts_cpd_rollup": transcripts_cpd_rollup,
     }
@@ -1771,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_sql(),
         "bpe_token_counts": _bpe_token_sql(),
         "winnow_fingerprints": WINNOW_SQL,
+        "rollup_distinct_daily": DISTINCT_DAILY_SQL,
         "cpd_confusion": CONFUSION_SQL,
         "scrubber_windows": SCRUBBER_SQL,
         "gorilla_roundtrip": GORILLA_SQL,

@@ -123,6 +123,59 @@ def rollup_all_tiers(
     return out
 
 
+def rollup_tier_distinct(
+    df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    lgk: int = 12,
+) -> DataFrame:
+    """Tier with a MERGEABLE distinct-count sketch per bucket (Apache
+    DataSketches HLL via Spark's hll_sketch_agg): (keys, bucket, n_points,
+    distinct_sketch, distinct_est). The sketch column is what makes this a
+    continuous aggregate: coarser tiers union finer tiers' sketches instead
+    of rescanning raw (HLL union is register-wise max, so the hierarchical
+    estimate is IDENTICAL to sketching the raw data directly)."""
+    trunc = TIER_TRUNC[tier]
+    bucket = F.date_trunc(trunc, F.col(ts_col)).alias("bucket")
+    sketch = F.hll_sketch_agg(F.col(id_col), F.lit(lgk))
+    return df.groupBy(*key_cols, bucket).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        sketch.alias("distinct_sketch"),
+    ).withColumn("distinct_est", F.hll_sketch_estimate("distinct_sketch"))
+
+
+def rollup_distinct_hierarchy(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    lgk: int = 12,
+) -> dict[str, DataFrame]:
+    """1m/1h/1d distinct-count tiers; 1h and 1d are sketch UNIONS of the 1m
+    tier — the raw table is scanned exactly once, the rest is register-max
+    merges over already-tiny tier tables (the 100 TB shape for
+    distinct-users-per-bucket at every retention tier)."""
+    out: dict[str, DataFrame] = {}
+    minute = rollup_tier_distinct(df, "1m", key_cols, ts_col, id_col, lgk)
+    out["1m"] = minute
+    prev = minute
+    for tier in ("1h", "1d"):
+        trunc = TIER_TRUNC[tier]
+        bucket = F.date_trunc(trunc, F.col("bucket")).alias("bucket")
+        prev = (
+            prev.groupBy(*key_cols, bucket)
+            .agg(
+                F.sum("n_points").alias("n_points"),
+                F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+            )
+            .withColumn("distinct_est", F.hll_sketch_estimate("distinct_sketch"))
+        )
+        out[tier] = prev
+    return out
+
+
 def apply_retention(
     tier_df: DataFrame,
     tier: Tier,

@@ -63,13 +63,23 @@ def main() -> int:
                 failures.append(name)
             continue
         try:
-            spark_df = normalize(fn(spark, SF_DIR).toPandas())
-            duck_df = normalize(con.execute(oracles[name]).df())
+            spark_raw = fn(spark, SF_DIR).toPandas()
+            duck_raw = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"[oracle] {name}: EXEC FAILED {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
             continue
         ok = True
+        # driver-strictness guard: the normalizer below coerces ints to int64
+        # and masks int-vs-float dtype drift that the driver's value hash does
+        # NOT forgive (round-1 q1/sessionize trap: DuckDB HUGEINT → float)
+        for c in set(spark_raw.columns) & set(duck_raw.columns):
+            ks, kd = spark_raw[c].dtype.kind, duck_raw[c].dtype.kind
+            if {ks, kd} == {"i", "f"} or {ks, kd} == {"u", "f"}:
+                print(f"[oracle] {name}: DTYPE DRIFT col {c}: spark {spark_raw[c].dtype} vs duck {duck_raw[c].dtype}")
+                ok = False
+        spark_df = normalize(spark_raw)
+        duck_df = normalize(duck_raw)
         if list(spark_df.columns) != list(duck_df.columns):
             print(f"[oracle] {name}: COLUMN MISMATCH {list(spark_df.columns)} vs {list(duck_df.columns)}")
             ok = False

@@ -245,3 +245,32 @@ def test_cusum_prefilter_gating_is_exact(spark):
     # and the gate actually prunes (otherwise it's not a pre-filter)
     assert alarmed.count() <= series.select("series_id").distinct().count()
     assert {r.series_id for r in alarmed.collect()} >= {s for s, _ in ungated}
+
+
+def test_distinct_sketch_hierarchy(spark):
+    """HLL distinct-count tiers: the hierarchical (1m -> 1h -> 1d sketch
+    union) estimate is IDENTICAL to sketching raw directly (union = register
+    max), and within 5% of exact distinct counts."""
+    from pysatl_cpd_spark.operators.rollup import (
+        rollup_distinct_hierarchy,
+        rollup_tier_distinct,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tiers = rollup_distinct_hierarchy(ev, ["event_type"])
+    day_h = {
+        (r.event_type, r.bucket): r.distinct_est for r in tiers["1d"].collect()
+    }
+    day_direct = {
+        (r.event_type, r.bucket): r.distinct_est
+        for r in rollup_tier_distinct(ev, "1d", ["event_type"]).collect()
+    }
+    assert day_h == day_direct  # union-of-parts == sketch-of-whole
+    exact = {
+        (r.event_type, r.bucket): r.n
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("bucket")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for k, est in day_h.items():
+        assert abs(est - exact[k]) / max(exact[k], 1) < 0.05, (k, est, exact[k])
