@@ -103,3 +103,47 @@ def test_declared_output_missing_from_schema_fails(spark, tmp_path):
     job = CheckpointedJob(spark, str(tmp_path / "job"))
     with pytest.raises(KeyError, match="value"):
         job.run_chain(specs)
+
+
+def test_chain_validation_hypothesis_law():
+    """Property law (reference test_steps/test_step.py shape): a chain whose
+    every stage draws inputs from previously-published outputs validates;
+    poisoning any stage with a never-published field raises a KeyError that
+    names the missing field."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pysatl_cpd_spark.plans.lineage import StageSpec, check_stage_chain
+
+    names = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        outs=st.lists(st.sets(names, min_size=1, max_size=4), min_size=1, max_size=5),
+        poison_idx=st.integers(min_value=0, max_value=4),
+        data=st.data(),
+    )
+    def law(outs, poison_idx, data):
+        specs = []
+        published: set[str] = set()
+        for i, o in enumerate(outs):
+            ins = (
+                set(data.draw(st.sets(st.sampled_from(sorted(published)), max_size=3)))
+                if published
+                else set()
+            )
+            specs.append(StageSpec(f"s{i}", lambda _: None, inputs=ins, outputs=o))
+            published |= o
+        check_stage_chain(specs)  # valid chain must pass
+
+        poison_idx = poison_idx % len(specs)
+        bad = dict(specs[poison_idx].__dict__)
+        bad["inputs"] = set(bad["inputs"]) | {"zz_never_published"}
+        poisoned = list(specs)
+        poisoned[poison_idx] = StageSpec(**bad)
+        import pytest
+
+        with pytest.raises(KeyError, match="zz_never_published"):
+            check_stage_chain(poisoned)
+
+    law()
