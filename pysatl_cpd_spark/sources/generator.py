@@ -62,7 +62,16 @@ def _check(name: str, cond: bool, msg: str) -> None:
 
 def make_dist(name: str, params: dict) -> Dist:
     """Validated constructor mirroring the reference's from_params checks."""
-    p = {k: (v if isinstance(v, list) else float(v)) for k, v in params.items()}
+    # the reference YAML encodes vector parameters as stringified lists
+    # ('["0.0", "1.0"]', tests/test_configs/test_config_1.yml) — decode first
+    decoded = {}
+    for k, v in params.items():
+        if isinstance(v, str) and v.lstrip().startswith("["):
+            import ast
+
+            v = [float(x) for x in ast.literal_eval(v)]
+        decoded[k] = v
+    p = {k: (v if isinstance(v, list) else float(v)) for k, v in decoded.items()}
     if name == "normal":
         _check(name, set(p) == {"mean", "variance"}, "needs mean, variance")
         _check(name, p["variance"] >= 0, "variance cannot be negative")

@@ -141,3 +141,18 @@ class TestTranscripts:
         }
         assert sizes["conv00000000"] == 5000
         assert all(v < 200 for k, v in sizes.items() if k != "conv00000000")
+
+
+def test_reference_yaml_configs_parse_verbatim():
+    """The reference repo's own test YAMLs (tests/test_configs/*.yml) parse
+    and sample without modification — including the stringified multivariate
+    mean form ('["0.0", "1.0"]')."""
+    for fname in ("test_config_1.yml", "test_config_exp.yml"):
+        txt = open(f"/root/reference/tests/test_configs/{fname}").read()
+        cfgs = parse_config(txt)
+        assert cfgs
+        for cfg in cfgs:
+            values, cps = generate_sample(cfg["segments"], seed=1)
+            total = sum(length for _, length in cfg["segments"])
+            assert values.shape[0] == total
+            assert cps == cfg["change_points"]
