@@ -108,3 +108,63 @@ def extract_features(media: DataFrame, dim: int = 16, real_decode: bool = False)
 
     pruned = media.select("item_id", "kind", "payload")
     return pruned.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "item_id long, width int, height int, thumb binary"
+FRAME_SCHEMA = "item_id long, frame_idx int, frame_ts double, frame binary"
+
+
+def resize_thumbnails(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Resize plumbing: emit a per-item thumbnail payload with aspect-ratio
+    scaled dimensions. The pixel resample itself is env-gated (no Pillow in
+    this container) — the deterministic stand-in derives thumb bytes from the
+    payload hash so schema/batching/partitioning are real and testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, w, h, payload in zip(
+                pdf["item_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                if w is None or h is None or pd.isna(w) or pd.isna(h):
+                    continue
+                # never upscale: a "thumbnail" larger than the source would
+                # allocate unboundedly for large max_side
+                scale = min(1.0, max_side / max(int(w), int(h), 1))
+                tw, th = max(1, round(int(w) * scale)), max(1, round(int(h) * scale))
+                seed = hashlib.sha256(bytes(payload)).digest()
+                thumb = (seed * ((tw * th) // len(seed) + 1))[: tw * th]
+                rows.append((int(item_id), tw, th, thumb))
+            yield pd.DataFrame(rows, columns=["item_id", "width", "height", "thumb"])
+
+    return media.select("item_id", "width", "height", "payload").mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing for video items: one output row per sampled
+    frame at ``fps`` up to ``max_frames``, frame payload derived
+    deterministically from (payload hash, frame index) — the real decoder
+    slots in behind the same mapInPandas signature."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for item_id, kind, dur, payload in zip(
+                pdf["item_id"], pdf["kind"], pdf["duration_s"], pdf["payload"]
+            ):
+                if kind != "video" or dur is None or pd.isna(dur):
+                    continue
+                n = min(max_frames, max(1, int(float(dur) * fps)))
+                base = hashlib.sha256(bytes(payload)).digest()
+                for i in range(n):
+                    frame = hashlib.sha256(base + i.to_bytes(4, "big")).digest()
+                    rows.append((int(item_id), i, i / fps, frame))
+            yield pd.DataFrame(
+                rows, columns=["item_id", "frame_idx", "frame_ts", "frame"]
+            )
+
+    return media.select("item_id", "kind", "duration_s", "payload").mapInPandas(
+        run, FRAME_SCHEMA
+    )

@@ -194,3 +194,23 @@ def test_lsh_recall_on_clustered(spark):
         for r in lsh_cosine_topk(corpus, q, dim=16, k=5, n_planes=4).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_multimodal_resize_and_frames(spark):
+    from pysatl_cpd_spark.operators.multimodal import resize_thumbnails, sample_frames
+
+    media = synthesize_media(spark, n_items=15, seed=3)
+    thumbs = resize_thumbnails(media, max_side=32).collect()
+    assert thumbs  # audio items (no width) skipped, image/video present
+    for r in thumbs:
+        assert max(r.width, r.height) <= 32 and min(r.width, r.height) >= 1
+        assert len(r.thumb) == r.width * r.height
+    frames = sample_frames(media, fps=1.0, max_frames=4).collect()
+    assert frames and all(r.frame_idx < 4 for r in frames)
+    vids = {r.item_id for r in frames}
+    kinds = {r.item_id: r.kind for r in media.select("item_id", "kind").collect()}
+    assert all(kinds[i] == "video" for i in vids)
+    # determinism: same media → same frame bytes
+    again = {(r.item_id, r.frame_idx): bytes(r.frame) for r in sample_frames(media, fps=1.0, max_frames=4).collect()}
+    first = {(r.item_id, r.frame_idx): bytes(r.frame) for r in frames}
+    assert first == again
