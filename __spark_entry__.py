@@ -1050,6 +1050,80 @@ def cpd_cusum_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cusum_localized_sql(k: float = 2.0, h: float = 20.0, learning: int = 50) -> str:
+    """SQL twin of CusumDetector.localize (detectors/cusum.py): per candidate
+    segment start p, learn mu sequentially from the next ``learning`` points,
+    run the reset-free two-sided statistic on the remainder (running sum +
+    running min windows — bit-identical to the numpy cumsum/accumulate), take
+    the lexicographically-first (alarm, excursion-start) over directions, and
+    follow the alarm→restart chain with a recursive CTE. The O(n²) (p, t)
+    pair table makes every per-iteration window precomputable; fine at the
+    oracle scale (sf0.01, ~66 points/series)."""
+    return f"""
+WITH RECURSIVE series AS (
+  SELECT CAST(user_id AS VARCHAR) AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+         value
+  FROM events
+), sn AS (
+  SELECT series_id, count(*) AS n FROM series GROUP BY series_id
+), starts AS (
+  SELECT s.series_id, s.pos AS p
+  FROM series s JOIN sn USING (series_id)
+  WHERE s.pos + {learning} < sn.n
+), pairs AS (
+  SELECT st.series_id, st.p, s.pos AS t, s.value
+  FROM starts st JOIN series s ON s.series_id = st.series_id AND s.pos >= st.p
+), mu AS (
+  SELECT series_id, p, run_sum / {learning}.0 AS mu
+  FROM (
+    SELECT series_id, p, t,
+           sum(value) OVER (PARTITION BY series_id, p ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS run_sum
+    FROM pairs WHERE t < p + {learning}
+  ) WHERE t = p + {learning} - 1
+), seg AS (
+  SELECT pr.series_id, pr.p, pr.t,
+         sum(pr.value - m.mu - {k}) OVER w AS c_pos,
+         sum(m.mu - pr.value - {k}) OVER w AS c_neg
+  FROM pairs pr JOIN mu m USING (series_id, p)
+  WHERE pr.t >= pr.p + {learning}
+  WINDOW w AS (PARTITION BY pr.series_id, pr.p ORDER BY pr.t ROWS UNBOUNDED PRECEDING)
+), stat AS (
+  SELECT series_id, p, t,
+         c_pos - least(min(c_pos) OVER w2, 0.0) AS s_pos,
+         c_neg - least(min(c_neg) OVER w2, 0.0) AS s_neg
+  FROM seg
+  WINDOW w2 AS (PARTITION BY series_id, p ORDER BY t ROWS UNBOUNDED PRECEDING)
+), stat2 AS (
+  SELECT series_id, p, t, s_pos, s_neg,
+         max(CASE WHEN s_pos <= 0.0 THEN t END) OVER w3 AS lastz_up,
+         max(CASE WHEN s_neg <= 0.0 THEN t END) OVER w3 AS lastz_dn
+  FROM stat
+  WINDOW w3 AS (PARTITION BY series_id, p ORDER BY t ROWS UNBOUNDED PRECEDING)
+), dir_first AS (
+  SELECT series_id, p, t AS alarm_t, coalesce(lastz_up + 1, p + {learning}) AS cp
+  FROM (SELECT *, row_number() OVER (PARTITION BY series_id, p ORDER BY t) AS rn
+        FROM stat2 WHERE s_pos > {h}) WHERE rn = 1
+  UNION ALL
+  SELECT series_id, p, t, coalesce(lastz_dn + 1, p + {learning})
+  FROM (SELECT *, row_number() OVER (PARTITION BY series_id, p ORDER BY t) AS rn
+        FROM stat2 WHERE s_neg > {h}) WHERE rn = 1
+), alarms AS (
+  SELECT series_id, p, alarm_t, cp, alarm_t + 1 AS next_pos
+  FROM (SELECT *, row_number() OVER (PARTITION BY series_id, p ORDER BY alarm_t, cp) AS rn
+        FROM dir_first) WHERE rn = 1
+), chain AS (
+  SELECT series_id, 0 AS p FROM sn WHERE 0 + {learning} < n
+  UNION ALL
+  SELECT a.series_id, a.next_pos AS p
+  FROM chain c JOIN alarms a ON a.series_id = c.series_id AND a.p = c.p
+)
+SELECT c.series_id, CAST(a.cp AS BIGINT) AS change_point
+FROM chain c JOIN alarms a USING (series_id, p)
+"""
+
+
 def cpd_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.detectors.classification import ClassificationCpd, KnnClassifier
     from pysatl_cpd_spark.operators.cpd import detect_windowed
@@ -1813,6 +1887,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "bpe_token_counts": _bpe_token_sql(),
         "winnow_fingerprints": WINNOW_SQL,
         "rollup_distinct_daily": DISTINCT_DAILY_SQL,
+        "cpd_cusum_localized": _cusum_localized_sql(),
         "cpd_confusion": CONFUSION_SQL,
         "scrubber_windows": SCRUBBER_SQL,
         "gorilla_roundtrip": GORILLA_SQL,

@@ -75,7 +75,10 @@ class CusumDetector:
             else:
                 if pos + self.learning_steps >= n:
                     break
-                mu = float(values[pos : pos + self.learning_steps].mean())
+                # sequential (left-to-right) mean, NOT np.mean's pairwise
+                # summation: bit-identical to a SQL running-window sum, which
+                # is what makes this detector's full output oracle-checkable
+                mu = float(np.cumsum(values[pos : pos + self.learning_steps])[-1]) / self.learning_steps
                 seg_start = pos + self.learning_steps
             seg = values[seg_start:]
             hits = [
