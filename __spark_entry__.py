@@ -521,13 +521,14 @@ WITH toks AS (
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS arr
   FROM documents
 ), sh AS (
-  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS shingle
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]), 1, 15) AS BIGINT) AS sh
   FROM toks, unnest(generate_series(1, greatest(len(arr) - 2, 0))) AS g(i)
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

@@ -101,11 +101,16 @@ def shingle_jaccard_pairs(
     token self-join O(sum df^2) ≈ 450M pairs at sf0.1; trigrams cut that to
     ~3M), so this is the exact-similarity operator that survives scale; pair
     generation stays a shuffle equi-join on the shingle."""
-    sh = shingles(docs, n, id_col, text_col)
+    # join on the portable 60-bit md5 hash of the shingle, not the string:
+    # an 8-byte shuffle key instead of a ~20-byte string. The SQL oracle
+    # hashes identically, so even the (~1e-7) collision behavior matches.
+    sh = shingles(docs, n, id_col, text_col).select(
+        "doc_id", token_hash64(F.col("shingle")).alias("sh")
+    ).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
