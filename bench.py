@@ -114,25 +114,35 @@ def main() -> None:
     # warm the JVM/Arrow paths once
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
-    # each timing = min of REPS back-to-back runs (default 2): this VM shows
-    # ±40% single-run noise (same code, same input, minutes apart), so a
-    # single sample mostly measures weather; min-of-N is the standard
-    # steady-state estimator. SPARK_GRAFT_BENCH_REPS=1 restores single-shot.
+    # each timing = min of up to REPS back-to-back runs (default 2): this VM
+    # shows ±40% single-run noise phases lasting minutes, so a single sample
+    # mostly measures weather; min-of-N is the standard steady-state
+    # estimator. Re-runs are TIME-BUDGETED (skipped once the harness has
+    # spent SPARK_GRAFT_BENCH_BUDGET seconds, default 180) so a bad-phase
+    # first pass cannot push total wall time past a driver timeout.
+    # SPARK_GRAFT_BENCH_REPS=1 restores single-shot.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    rerun_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "180"))
     total0 = time.perf_counter()
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(reps):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(reps - 1):
+        for name in HEADLINE:
+            if time.perf_counter() - total0 > rerun_budget:
+                break
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = round(min(timings[name], time.perf_counter() - t0), 3)
 
     # warm the grouped-UDF path (python workers, Arrow codecs, JIT) so the
     # flagship number measures steady-state throughput, not process startup
     run_flagship(spark, max(n_convs // 20, 8), min(avg_turns, 200))
     flagship_sec, points = run_flagship(spark, n_convs, avg_turns)
     for _ in range(reps - 1):
+        if time.perf_counter() - total0 > rerun_budget + flagship_sec:
+            break
         flagship_sec = min(flagship_sec, run_flagship(spark, n_convs, avg_turns)[0])
     timings["transcripts_cpd_rollup"] = round(flagship_sec, 3)
     total = time.perf_counter() - total0
