@@ -66,7 +66,11 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
     # touches the fat `text` column, and a UDF source blocks Catalyst pruning
     tr = (
         transcripts_table(
-            spark, n_conversations=n_conversations, avg_turns=avg_turns, seed=42
+            spark,
+            n_conversations=n_conversations,
+            avg_turns=avg_turns,
+            seed=42,
+            with_text=False,  # projected away below; synthesis hot spot
         )
         .select("conv_id", "turn_idx", "ts")
         .cache()

@@ -43,7 +43,9 @@ TRANSCRIPT_SCHEMA = (
 )
 
 
-def _gen_conversation(conv_index: int, n_turns: int, seed: int, skew_turns: int | None):
+def _gen_conversation(
+    conv_index: int, n_turns: int, seed: int, skew_turns: int | None, with_text: bool = True
+):
     rng = np.random.default_rng([seed, conv_index])
     n = int(skew_turns) if skew_turns is not None else max(
         2, int(rng.poisson(n_turns))
@@ -69,13 +71,19 @@ def _gen_conversation(conv_index: int, n_turns: int, seed: int, skew_turns: int 
     tool_mask = (roles == "assistant") & (rng.random(n) < 0.15)
     tools = np.where(tool_mask, _TOOLS[rng.integers(0, len(_TOOLS), n)], None)
 
+    # rng draws happen unconditionally so the stream (and every other
+    # column) is bit-identical whether or not text is materialized
     n_words = rng.integers(3, 15, n)
-    words = _VOCAB[rng.integers(0, len(_VOCAB), int(n_words.sum()))]
-    offsets = np.concatenate(([0], np.cumsum(n_words)))
-    texts = [
-        f"{conv_id}:{i}:" + " ".join(words[offsets[i] : offsets[i + 1]])
-        for i in range(n)
-    ]
+    word_idx = rng.integers(0, len(_VOCAB), int(n_words.sum()))
+    if with_text:
+        words = _VOCAB[word_idx]
+        offsets = np.concatenate(([0], np.cumsum(n_words)))
+        texts = [
+            f"{conv_id}:{i}:" + " ".join(words[offsets[i] : offsets[i + 1]])
+            for i in range(n)
+        ]
+    else:
+        texts = None
 
     ts = BASE_EPOCH + float(conv_index) * 86_400.0 + np.cumsum(gaps)
     return pd.DataFrame(
@@ -83,7 +91,7 @@ def _gen_conversation(conv_index: int, n_turns: int, seed: int, skew_turns: int 
             "conv_id": conv_id,
             "turn_idx": np.arange(n, dtype=np.int32),
             "role": np.where(tool_mask, "tool", roles),
-            "text": texts,
+            "text": texts if texts is not None else "",
             "tool": tools,
             "ts": pd.to_datetime(np.round(ts * 1e6).astype(np.int64), unit="us"),
             "is_cp": is_cp,
@@ -99,10 +107,17 @@ def synthesize_transcripts(
     hot_conversations: int = 0,
     hot_turns: int = 100_000,
     partitions: int | None = None,
+    with_text: bool = True,
 ) -> DataFrame:
     """Distributed deterministic transcripts. ``hot_conversations`` makes the
     first N conversations pathologically long (skew fixture). Returns the
     table with the extra ``is_cp`` marker column (drop it for the raw shape).
+
+    ``with_text=False`` skips materializing the fat ``text`` column (empty
+    string instead) for callers that project it away anyway — a mapInPandas
+    source is a pruning barrier Catalyst cannot see through, and text
+    assembly is the synthesis hot spot. All rng draws still happen, so every
+    other column is bit-identical either way (pinned by test).
     """
     if partitions is None:
         partitions = min(max(n_conversations // 4, 1), 256)
@@ -116,7 +131,7 @@ def synthesize_transcripts(
         for pdf in batches:
             for i in pdf["id"].tolist():
                 skew = hot_turns if i < hot_conversations else None
-                conv = _gen_conversation(int(i), avg_turns, seed, skew)
+                conv = _gen_conversation(int(i), avg_turns, seed, skew, with_text)
                 pending.append(conv)
                 n_rows += len(conv)
                 if n_rows >= 65536:

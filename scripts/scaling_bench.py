@@ -37,8 +37,8 @@ from pysatl_cpd_spark.sources.transcripts import transcripts_table
 from pysatl_cpd_spark.operators.series import turn_rate_series
 n_convs, avg_turns = int(sys.argv[1]), int(sys.argv[2])
 spark = get_spark(cores=32, app_name="scaling_prep")
-tr = transcripts_table(spark, n_conversations=n_convs, avg_turns=avg_turns, seed=42).select(
-    "conv_id", "turn_idx", "ts")
+tr = transcripts_table(spark, n_conversations=n_convs, avg_turns=avg_turns, seed=42,
+                       with_text=False).select("conv_id", "turn_idx", "ts")
 tr.write.mode("overwrite").parquet({RAW_PATH!r})
 tr = spark.read.parquet({RAW_PATH!r})
 turn_rate_series(tr).write.mode("overwrite").parquet({SERIES_PATH!r})

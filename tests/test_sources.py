@@ -156,3 +156,17 @@ def test_reference_yaml_configs_parse_verbatim():
             total = sum(length for _, length in cfg["segments"])
             assert values.shape[0] == total
             assert cps == cfg["change_points"]
+
+
+def test_with_text_false_preserves_all_other_columns(spark):
+    """with_text=False must not perturb the rng stream: every non-text column
+    is bit-identical to the full synthesis."""
+    full = synthesize_transcripts(spark, n_conversations=6, avg_turns=80, seed=9)
+    slim = synthesize_transcripts(
+        spark, n_conversations=6, avg_turns=80, seed=9, with_text=False
+    )
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "is_cp"]
+    a = full.select(cols).orderBy("conv_id", "turn_idx").toPandas()
+    b = slim.select(cols).orderBy("conv_id", "turn_idx").toPandas()
+    assert a.equals(b)
+    assert slim.filter(F.col("text") != "").count() == 0
