@@ -54,6 +54,16 @@ def get_spark(
     # inside a worker only adds contention)
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # detector classes are cloudpickled BY REFERENCE into grouped-map UDFs, so
+    # Python workers must import pysatl_cpd_spark themselves; put the package
+    # parent on PYTHONPATH before the JVM launches (workers inherit it) so
+    # jobs work from any cwd — on a real cluster --py-files serves this role
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
