@@ -65,6 +65,30 @@ def load_table(spark: SparkSession, ref: str) -> DataFrame:
     return spark.read.parquet(target)
 
 
+def write_bucketed_series(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    key_col: str = "series_id",
+    sort_cols: tuple[str, ...] = ("series_id", "t"),
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist a keyed series table bucketed + sorted by its group key so
+    every downstream groupBy/applyInPandas on that key is SHUFFLE-FREE: the
+    bucketed scan already satisfies the hash-distribution requirement, so
+    the detector stage reads straight into Python workers with zero
+    exchanges (plan-asserted in tests). This is the 100 TB co-location
+    story — pay the shuffle once at ingest, never again per detection run.
+    Size ``n_buckets`` to the executor count. Returns the re-read table."""
+    (
+        df.write.bucketBy(n_buckets, key_col)
+        .sortBy(*sort_cols)
+        .mode(mode)
+        .saveAsTable(table_name)
+    )
+    return df.sparkSession.table(table_name)
+
+
 def write_table(
     df: DataFrame,
     ref: str,

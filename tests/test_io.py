@@ -71,3 +71,28 @@ def test_catalog_parquet_roundtrip_and_iceberg_gate(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="iceberg-spark-runtime"):
         load_table(spark, "iceberg:ice.db.transcripts")
+
+
+def test_bucketed_series_detection_is_shuffle_free(spark):
+    """Co-location law: detection over a series table bucketed by its group
+    key runs with ZERO exchanges (the ingest shuffle is paid once), and the
+    results equal the unbucketed path."""
+    from pysatl_cpd_spark.detectors import CusumDetector
+    from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.operators.series import events_series
+    from pysatl_cpd_spark.sources.catalog import write_bucketed_series
+
+    series = events_series(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    spark.sql("DROP TABLE IF EXISTS series_bucketed_t")
+    bucketed = write_bucketed_series(series, "series_bucketed_t", n_buckets=8)
+
+    factory = lambda: CusumDetector(k=1.0, h=10.0)  # noqa: E731
+    out_b = detect_offline(bucketed, factory)
+    plan = out_b._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:500]
+
+    got_b = {(r.series_id, r.change_point) for r in out_b.collect()}
+    got_u = {(r.series_id, r.change_point) for r in detect_offline(series, factory).collect()}
+    assert got_b == got_u and got_b
