@@ -72,6 +72,7 @@ def write_bucketed_series(
     key_col: str = "series_id",
     sort_cols: tuple[str, ...] = ("series_id", "t"),
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> DataFrame:
     """Persist a keyed series table bucketed + sorted by its group key so
     every downstream groupBy/applyInPandas on that key is SHUFFLE-FREE: the
@@ -79,14 +80,17 @@ def write_bucketed_series(
     the detector stage reads straight into Python workers with zero
     exchanges (plan-asserted in tests). This is the 100 TB co-location
     story — pay the shuffle once at ingest, never again per detection run.
-    Size ``n_buckets`` to the executor count. Returns the re-read table."""
-    (
-        df.write.bucketBy(n_buckets, key_col)
-        .sortBy(*sort_cols)
-        .mode(mode)
-        .saveAsTable(table_name)
-    )
-    return df.sparkSession.table(table_name)
+    Size ``n_buckets`` to the executor count. ``path`` makes it an external
+    table at that location (session-safe: the default managed location
+    outlives the in-memory catalog and collides on re-create). Returns the
+    re-read table."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    writer = df.write.bucketBy(n_buckets, key_col).sortBy(*sort_cols).mode(mode)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)
 
 
 def write_table(

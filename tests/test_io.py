@@ -73,7 +73,7 @@ def test_catalog_parquet_roundtrip_and_iceberg_gate(spark, tmp_path):
         load_table(spark, "iceberg:ice.db.transcripts")
 
 
-def test_bucketed_series_detection_is_shuffle_free(spark):
+def test_bucketed_series_detection_is_shuffle_free(spark, tmp_path):
     """Co-location law: detection over a series table bucketed by its group
     key runs with ZERO exchanges (the ingest shuffle is paid once), and the
     results equal the unbucketed path."""
@@ -85,8 +85,9 @@ def test_bucketed_series_detection_is_shuffle_free(spark):
     series = events_series(
         spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     )
-    spark.sql("DROP TABLE IF EXISTS series_bucketed_t")
-    bucketed = write_bucketed_series(series, "series_bucketed_t", n_buckets=8)
+    bucketed = write_bucketed_series(
+        series, "series_bucketed_t", n_buckets=8, path=str(tmp_path / "series_b")
+    )
 
     factory = lambda: CusumDetector(k=1.0, h=10.0)  # noqa: E731
     out_b = detect_offline(bucketed, factory)
