@@ -214,3 +214,37 @@ def test_multimodal_resize_and_frames(spark):
     again = {(r.item_id, r.frame_idx): bytes(r.frame) for r in sample_frames(media, fps=1.0, max_frames=4).collect()}
     first = {(r.item_id, r.frame_idx): bytes(r.frame) for r in frames}
     assert first == again
+
+
+def test_quantized_cosine_matches_float_cosine():
+    """Property: the int64-quantized cosine (scale 1e7) used by the
+    oracle-portable paths differs from float cosine by < 1e-5 for unit-scale
+    vectors — quantization is a portability device, not an accuracy loss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.floats(min_value=-1.0, max_value=1.0, width=32), min_size=4, max_size=32),
+        st.data(),
+    )
+    def law(a, data):
+        b = data.draw(
+            st.lists(
+                st.floats(min_value=-1.0, max_value=1.0, width=32),
+                min_size=len(a), max_size=len(a),
+            )
+        )
+        av, bv = np.array(a, dtype=np.float64), np.array(b, dtype=np.float64)
+        na, nb = np.linalg.norm(av), np.linalg.norm(bv)
+        if na < 1e-3 or nb < 1e-3:
+            return  # degenerate norms amplify quantization arbitrarily
+        exact = float(av @ bv / (na * nb))
+        qa = np.round(av * 1e7).astype(np.int64)
+        qb = np.round(bv * 1e7).astype(np.int64)
+        qn = float(np.sqrt(float(qa @ qa) * float(qb @ qb)))
+        quant = float(qa @ qb) / qn
+        assert abs(quant - exact) < 1e-5, (exact, quant)
+
+    law()
