@@ -170,3 +170,57 @@ def test_with_text_false_preserves_all_other_columns(spark):
     b = slim.select(cols).orderBy("conv_id", "turn_idx").toPandas()
     assert a.equals(b)
     assert slim.filter(F.col("text") != "").count() == 0
+
+
+@pytest.mark.parametrize(
+    "name,params",
+    [
+        # port of the reference validation matrix
+        # (tests/test_generator/test_distributions.py:7-79); this engine
+        # collapses the reference's KeyError-vs-ValueError split into
+        # ValueError (set-equality parameter checks)
+        ("normal", {"mean": "0"}),
+        ("normal", {"mean": "0", "var": "1"}),
+        ("normal", {"mean": "0", "variance": "1", "x": "5"}),
+        ("normal", {"mean": "0", "variance": "-1"}),
+        ("exponential", {}),
+        ("exponential", {"rt": "1"}),
+        ("exponential", {"rate": "1", "x": "5"}),
+        ("exponential", {"rate": "-1"}),
+        ("weibull", {"shape": "0"}),
+        ("weibull", {"shape": "0", "var": "1"}),
+        ("weibull", {"shape": "1", "scale": "1", "x": "5"}),
+        ("weibull", {"shape": "-1", "scale": "1"}),
+        ("weibull", {"shape": "1", "scale": "-1"}),
+        ("uniform", {"min": "0"}),
+        ("uniform", {"min": "-1", "MAX": "1"}),
+        ("uniform", {"min": "-1", "max": "1", "x": "5"}),
+        ("uniform", {"min": "1", "max": "-1"}),
+        ("beta", {"alpha": "1"}),
+        ("beta", {"alpha": "1", "x": "1"}),
+        ("beta", {"alpha": "1", "beta": "1", "x": "5"}),
+        ("beta", {"alpha": "-1", "beta": "1"}),
+        ("beta", {"alpha": "1", "beta": "-1"}),
+        ("gamma", {"alpha": "1"}),
+        ("gamma", {"alpha": "1", "x": "1"}),
+        ("gamma", {"alpha": "1", "beta": "1", "x": "5"}),
+        ("gamma", {"alpha": "-1", "beta": "1"}),
+        ("gamma", {"alpha": "1", "beta": "-1"}),
+        ("t", {}),
+        ("t", {"N": "1"}),
+        ("t", {"n": "1", "x": "5"}),
+        ("t", {"n": "-1"}),
+        ("lognorm", {}),
+        ("lognorm", {"mu": "1"}),
+        ("lognorm", {"mu": "0", "Sigma": "1"}),
+        ("lognorm", {"mu": "0", "sigma": "1", "x": "5"}),
+        ("lognorm", {"mu": "0", "sigma": "-1"}),
+        ("multivariate_normal", {}),
+        ("multivariate_normal", {"Mean": "[0.0, 0.0]"}),
+        ("multivariate_normal", {"mean": "[0.0, 0.0]", "x": "5"}),
+        ("multivariate_normal", {"mean": "[]"}),
+    ],
+)
+def test_reference_validation_matrix(name, params):
+    with pytest.raises(ValueError):
+        make_dist(name, params)
