@@ -1051,22 +1051,19 @@ def cpd_cusum_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cusum_localized_sql(k: float = 2.0, h: float = 20.0, learning: int = 50) -> str:
-    """SQL twin of CusumDetector.localize (detectors/cusum.py): per candidate
-    segment start p, learn mu sequentially from the next ``learning`` points,
-    run the reset-free two-sided statistic on the remainder (running sum +
-    running min windows — bit-identical to the numpy cumsum/accumulate), take
-    the lexicographically-first (alarm, excursion-start) over directions, and
-    follow the alarm→restart chain with a recursive CTE. The O(n²) (p, t)
-    pair table makes every per-iteration window precomputable; fine at the
-    oracle scale (sf0.01, ~66 points/series)."""
-    return f"""
-WITH RECURSIVE series AS (
-  SELECT CAST(user_id AS VARCHAR) AS series_id,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
-         value
-  FROM events
-), sn AS (
+def _cusum_chain_sql(k: float, h: float, learning: int) -> str:
+    """SQL twin of CusumDetector.localize (detectors/cusum.py), as a reusable
+    CTE chain over a caller-provided CTE ``series(series_id, pos, value)``
+    (pos = dense 0-based per-series position): per candidate segment start p,
+    learn mu sequentially from the next ``learning`` points, run the
+    reset-free two-sided statistic on the remainder (running sum + running
+    min windows — bit-identical to the numpy cumsum/accumulate), take the
+    lexicographically-first (alarm, excursion-start) over directions, and
+    follow the alarm→restart chain with a recursive CTE (caller must open
+    WITH RECURSIVE). The O(n²) (p, t) pair table makes every per-iteration
+    window precomputable; fine at oracle scale. Detected positions:
+    ``SELECT series_id, a.cp FROM chain c JOIN alarms a USING (series_id, p)``."""
+    return f"""sn AS (
   SELECT series_id, count(*) AS n FROM series GROUP BY series_id
 ), starts AS (
   SELECT s.series_id, s.pos AS p
@@ -1119,9 +1116,59 @@ WITH RECURSIVE series AS (
   UNION ALL
   SELECT a.series_id, a.next_pos AS p
   FROM chain c JOIN alarms a ON a.series_id = c.series_id AND a.p = c.p
-)
+)"""
+
+
+def _cusum_localized_sql(k: float = 2.0, h: float = 20.0, learning: int = 50) -> str:
+    """CusumDetector over the per-user events series; change points are
+    positions (== t, the events series is dense)."""
+    return f"""
+WITH RECURSIVE series AS (
+  SELECT CAST(user_id AS VARCHAR) AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos,
+         value
+  FROM events
+), {_cusum_chain_sql(k, h, learning)}
 SELECT c.series_id, CAST(a.cp AS BIGINT) AS change_point
 FROM chain c JOIN alarms a USING (series_id, p)
+"""
+
+
+def _flagship_sql(k: float = 0.05, h: float = 2.0, learning: int = 50) -> str:
+    """Full SQL twin of transcripts_cpd_rollup: the deterministic input
+    series is inlined as VALUES (oracle/flagship.py — numpy replication of
+    transcripts_table + turn_rate_series, validated row-identical against
+    the Spark path), then CUSUM localization (shared _cusum_chain_sql),
+    segment assignment (count of CPs at-or-before t), and per-segment
+    summaries — everything the flagship returns except the dropped blob."""
+    from pysatl_cpd_spark.oracle.flagship import flagship_series_values
+
+    return f"""
+WITH RECURSIVE raw(series_id, pos, t, value) AS (VALUES
+{flagship_series_values()}
+), series AS (
+  SELECT series_id, pos, value FROM raw
+), {_cusum_chain_sql(k, h, learning)}, cps AS (
+  SELECT DISTINCT c.series_id, r.t
+  FROM chain c
+  JOIN alarms a USING (series_id, p)
+  JOIN raw r ON r.series_id = c.series_id AND r.pos = a.cp
+), assigned AS (
+  SELECT r.series_id, r.t, r.value,
+         sum(CASE WHEN c.t IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.series_id ORDER BY r.t
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM raw r LEFT JOIN cps c ON c.series_id = r.series_id AND c.t = r.t
+)
+SELECT series_id,
+       CAST(seg AS BIGINT) AS segment_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(t) AS BIGINT) AS t_min,
+       CAST(max(t) AS BIGINT) AS t_max,
+       round(min(value), 9) AS min_value,
+       round(max(value), 9) AS max_value
+FROM assigned
+GROUP BY series_id, seg
 """
 
 
@@ -1869,6 +1916,12 @@ def oracle_sql() -> dict[str, str]:
         out["ivf_cosine_topk"] = _ivf_cosine_sql()
         out["ann_recall"] = _ann_recall_sql()
     except Exception:  # noqa: BLE001 - parquet missing in this environment
+        pass
+    # flagship: input series inlined as VALUES (self-synthesized, no parquet
+    # needed); guard so a literal-generation failure degrades to rows-only
+    try:
+        out["transcripts_cpd_rollup"] = _flagship_sql()
+    except Exception:  # noqa: BLE001
         pass
     return out
 
