@@ -1031,10 +1031,13 @@ def cpd_linear_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pysatl_cpd_spark.operators.cpd import detect_online
 
+    # contract params picked for NONZERO output at the driver's sf0.01 gate
+    # (hazard 50, learning 10 → 13 detections over the 150 event series);
+    # a rows-only check on an empty result proves nothing
     inner = lambda: BayesianOnlineDetector(  # noqa: E731
-        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
+        ConstantHazard(50.0),
         HeuristicGaussianVsExponential(),
-        20,
+        10,
         ThresholdDetector(0.04),
         ArgmaxLocalizer(),
     )
@@ -1178,7 +1181,9 @@ def cpd_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return detect_windowed(
         _event_series(spark, sf_dir),
-        lambda: ClassificationCpd(KnnClassifier(7), "mcc", 0.85, 0.25),
+        # threshold 0.5 → 54 detections at sf0.01 (0.85 detected nothing,
+        # making the driver's rows check vacuous)
+        lambda: ClassificationCpd(KnnClassifier(7), "mcc", 0.5, 0.25),
         window_length=48,
         shift_factor=0.5,
     )
@@ -1204,13 +1209,15 @@ def cpd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return detect_windowed(
         _event_series(spark, sf_dir),
-        lambda: GraphCpd(lambda a, b: np.abs(a - b) <= 5.0, threshold=3.0),
+        # threshold 2.0 → 99 detections at sf0.01; the previous 3.0 passed
+        # the oracle vacuously as 0-rows-vs-0-rows
+        lambda: GraphCpd(lambda a, b: np.abs(a - b) <= 5.0, threshold=2.0),
         window_length=100,
         shift_factor=1.0 / 3.0,
     )
 
 
-def _cpd_graph_sql(threshold: float = 3.0, eps: float = 5.0) -> str:
+def _cpd_graph_sql(threshold: float = 2.0, eps: float = 5.0) -> str:
     """SQL twin of the windowed Chen-Zhang graph test (GraphCpd.zscores):
     per scrubber window (100/33), adjacency |vi-vj| <= eps, crossing count
     R(tau) via cumulative difference counts, closed-form permutation
