@@ -1930,6 +1930,52 @@ def oracle_sql() -> dict[str, str]:
         out["transcripts_cpd_rollup"] = _flagship_sql()
     except Exception:  # noqa: BLE001
         pass
+    # sequential detectors: expected rows computed at oracle-build time by
+    # the flat transcriptions in oracle/transcriptions.py (validated
+    # row-identical against the engine kernels), inlined as VALUES — the
+    # same literal technique as the IVF centroids. Degrades to rows-only
+    # when the sf0.01 parquet is unreachable.
+    try:
+        out.update(_transcription_oracles())
+    except Exception:  # noqa: BLE001
+        pass
+    return out
+
+
+def _values_cp_sql(rows: list[tuple[str, int]], col: str = "change_point") -> str:
+    if not rows:
+        return (
+            f"SELECT CAST(NULL AS VARCHAR) AS series_id, "
+            f"CAST(NULL AS BIGINT) AS {col} WHERE FALSE"
+        )
+    vals = ",\n".join(f"('{sid}', {v})" for sid, v in rows)
+    return (
+        f"SELECT series_id, CAST({col} AS BIGINT) AS {col} FROM (VALUES\n"
+        f"{vals}\n) t(series_id, {col})"
+    )
+
+
+def _transcription_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """VALUES oracles for the six sequential-detector queries (the driver's
+    gate runs at sf0.01 — TESTDATA.md)."""
+    from pysatl_cpd_spark.oracle.transcriptions import (
+        expected_count_rows,
+        expected_cp_rows,
+    )
+
+    out = {
+        q: _values_cp_sql(expected_cp_rows(q, sf_dir))
+        for q in (
+            "cpd_bocpd_offline",
+            "cpd_bocpd_online",
+            "cpd_linear_heuristic",
+            "cpd_knn",
+            "cpd_classification",
+        )
+    }
+    out["cpd_detect_counts"] = _values_cp_sql(
+        expected_count_rows(sf_dir), col="n_change_points"
+    )
     return out
 
 
