@@ -325,21 +325,24 @@ def simhash_near_dups(
         ).alias("c"),
     ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # keep each pair exactly once WITHOUT a distinct shuffle: a pair matching
+    # in several chunks is emitted only from its lowest matching chunk index,
+    # computed in-row from the xor (chunk j matches iff its xor bits are 0)
+    min_match = F.lit(n_chunks)
+    mask = (1 << chunk_bits) - 1
+    for i in reversed(range(n_chunks)):
+        chunk_zero = F.shiftright(xor, chunk_bits * i).bitwiseAND(F.lit(mask)) == 0
+        min_match = F.when(chunk_zero, F.lit(i)).otherwise(min_match)
+    return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.key") == F.col("b.key")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a.chunk") == min_match)
+        .withColumn("hamming", F.bit_count(xor).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            "hamming",
         )
-        .distinct()
-    )
-    return (
-        pairs.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
