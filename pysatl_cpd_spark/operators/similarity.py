@@ -222,22 +222,27 @@ def ivf_cosine_topk(
     )
     centroids = ivf_centroids_from_sample(sample, n_lists, seed, quantize_scale)
 
-    def centroid_lit(centroid):
-        if quantize_scale:
-            return F.array(*[F.lit(int(c)).cast("long") for c in centroid])
-        return F.array(*[F.lit(float(c)) for c in centroid])
+    # centroids travel as ONE broadcast row (array<array<...>>), not as plan
+    # literals: at the thousands of lists a 100-TB corpus needs, per-centroid
+    # literals blow up the plan/codegen, while a broadcast relation stays a
+    # constant-size plan regardless of lists × dims
+    spark = corpus.sparkSession
+    elem = "bigint" if quantize_scale else "double"
+    cent_df = spark.createDataFrame(
+        [(centroids,)], f"cents array<array<{elem}>>"
+    )
 
     def sq_dist(vec, centroid):
         if quantize_scale:
             return F.aggregate(
-                F.zip_with(vec, centroid_lit(centroid), lambda a, b: (a - b) * (a - b)),
+                F.zip_with(vec, centroid, lambda a, b: (a - b) * (a - b)),
                 F.lit(0).cast("long"),
                 lambda acc, v: acc + v,
             )
         return F.aggregate(
             F.zip_with(
                 vec,
-                centroid_lit(centroid),
+                centroid,
                 lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
             ),
             F.lit(0.0),
@@ -247,8 +252,8 @@ def ivf_cosine_topk(
     def nearest_lists(vec, n):
         """Column expr: array of the n nearest list ids to ``vec``
         (ties → lowest list id; array_sort on (d, i) structs is lexicographic)."""
-        dists = F.array(*[sq_dist(vec, c).alias(f"d{i}") for i, c in enumerate(centroids)])
-        idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+        dists = F.transform(F.col("cents"), lambda cv: sq_dist(vec, cv))
+        idx = F.sequence(F.lit(0), F.size(F.col("cents")) - 1)
         pairs = F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
         return F.slice(F.transform(F.array_sort(pairs), lambda p: p["i"]), 1, n)
 
@@ -256,12 +261,12 @@ def ivf_cosine_topk(
         vec_expr = quantize_vec(F.col(vec_col), quantize_scale)
     else:
         vec_expr = F.col(vec_col)
-    c = corpus.select(
+    c = corpus.crossJoin(F.broadcast(cent_df)).select(
         F.col(id_col).alias("neighbor_id"),
         vec_expr.alias("cvec"),
         nearest_lists(vec_expr, 1)[0].alias("list_id"),
     )
-    q = queries.select(
+    q = queries.crossJoin(F.broadcast(cent_df)).select(
         F.col(id_col).alias("query_id"),
         vec_expr.alias("qvec"),
         F.explode(nearest_lists(vec_expr, n_probe)).alias("list_id"),

@@ -185,6 +185,52 @@ def test_ivf_recall_on_clustered(spark):
     assert len(exact & approx) / len(exact) >= 0.9
 
 
+def test_ivf_256_lists_broadcast_centroids(spark):
+    """Centroids travel as ONE broadcast row, not per-centroid plan literals:
+    at 256 lists the plan stays constant-size (BroadcastNestedLoopJoin over a
+    1-row relation) and the neighbour sets match an exact numpy IVF twin."""
+    from pysatl_cpd_spark.operators.similarity import (
+        ivf_centroids_from_sample,
+        ivf_cosine_topk,
+    )
+
+    scale = 10_000_000
+    corpus = _clustered_vectors(spark, n_clusters=32, per=16)  # 512 vectors
+    q = corpus.filter(F.col("vec_id") % 100 == 0)
+    df = ivf_cosine_topk(
+        corpus, q, dim=16, k=3, n_lists=256, n_probe=4,
+        quantize_scale=scale, round_digits=9,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+    got: dict[int, set[int]] = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    # numpy twin: same sample → same centroids (shared helper), exact int64
+    # assignment/probing/rerank
+    rows = sorted(corpus.collect(), key=lambda r: r.vec_id)
+    vecs = np.array([[float(x) for x in r.embedding] for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    cents = np.array(ivf_centroids_from_sample(vecs[:2048], 256, 0, scale), dtype=np.int64)
+    qv = np.round(vecs * scale).astype(np.int64)
+    d2 = ((qv[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # ties → lowest list id (argmin semantics)
+    expected: dict[int, set[int]] = {}
+    for qi in np.flatnonzero(ids % 100 == 0):
+        probes = np.argsort(d2[qi], kind="stable")[:4]
+        cand = np.flatnonzero(np.isin(assign, probes) & (ids != ids[qi]))
+        cos = np.round(
+            (qv[cand] @ qv[qi])
+            / np.sqrt((qv[cand] ** 2).sum(axis=1).astype(float) * float(qv[qi] @ qv[qi])),
+            9,
+        )
+        order = sorted(zip(-cos, ids[cand]))[:3]
+        expected[int(ids[qi])] = {int(n) for _, n in order}
+    assert got == expected
+
+
 def test_lsh_recall_on_clustered(spark):
     corpus = _clustered_vectors(spark)
     q = corpus.filter(F.col("vec_id") % 40 == 0)
