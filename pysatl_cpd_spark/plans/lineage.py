@@ -50,32 +50,88 @@ class CheckpointedJob:
     def _paths(self, stage: str) -> tuple[str, str]:
         return f"{self.root}/{stage}/data", f"{self.root}/{stage}/_LINEAGE"
 
+    def table_name(self, stage: str) -> str:
+        """Catalog name for a bucketed stage output (root-scoped)."""
+        import hashlib
+        import re
+
+        safe = re.sub(r"[^0-9a-zA-Z_]", "_", stage)
+        return f"ckpt_{safe}_{hashlib.md5(self.root.encode()).hexdigest()[:8]}"
+
+    def _read_stage(self, name: str, data_path: str, bucketing: dict | None) -> DataFrame:
+        """Re-open a persisted stage. Bucketed outputs come back through the
+        catalog so the bucketed distribution survives the resume; if the
+        catalog is fresh (new session), the external table is re-registered
+        over the same files — Spark recovers bucket ids from the file names,
+        so the downstream groupBy stays shuffle-free across restarts."""
+        if not bucketing:
+            return self.spark.read.parquet(data_path)
+        table = self.table_name(name)
+        if not self.spark.catalog.tableExists(table):
+            schema = self.spark.read.parquet(data_path).schema
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+            sort = ", ".join(f"`{c}`" for c in bucketing["sort_cols"])
+            self.spark.sql(
+                f"CREATE TABLE {table} ({cols}) USING PARQUET "
+                f"CLUSTERED BY (`{bucketing['key']}`) SORTED BY ({sort}) "
+                f"INTO {bucketing['n_buckets']} BUCKETS LOCATION '{data_path}'"
+            )
+        return self.spark.table(table)
+
     def stage(
         self,
         name: str,
         build: Callable[[], DataFrame],
         inputs_fp: str = "",
         params: dict | None = None,
+        bucket_key: str | None = None,
+        n_buckets: int = 8,
+        sort_cols: tuple[str, ...] | None = None,
     ) -> StageResult:
         """Run (or resume) one stage. ``build`` produces the stage DataFrame;
-        it is only invoked on a cache miss."""
+        it is only invoked on a cache miss. ``bucket_key`` persists the output
+        bucketed+sorted on that key (sources/catalog.write_bucketed_series),
+        making every downstream groupBy/applyInPandas on the key shuffle-free
+        — including after a resume."""
         data_path, lineage_path = self._paths(name)
+        bucketing = (
+            {
+                "key": bucket_key,
+                "n_buckets": n_buckets,
+                "sort_cols": list(sort_cols or (bucket_key, "t")),
+            }
+            if bucket_key
+            else None
+        )
         key = {
             "stage": name,
             "inputs": inputs_fp,
             "job_params": self.params_fp,
             "params": _fingerprint(params or {}),
+            "bucketing": bucketing,
         }
         if os.path.exists(lineage_path):
             with open(lineage_path) as fh:
                 recorded = json.load(fh)
-            if {k: recorded[k] for k in key} == key:
-                return StageResult(self.spark.read.parquet(data_path), True, 0.0)
+            if {k: recorded.get(k) for k in key} == key:
+                return StageResult(self._read_stage(name, data_path, bucketing), True, 0.0)
 
         t0 = time.perf_counter()
         df = build()
-        df.write.mode("overwrite").parquet(data_path)
-        out = self.spark.read.parquet(data_path)
+        if bucketing:
+            from pysatl_cpd_spark.sources.catalog import write_bucketed_series
+
+            out = write_bucketed_series(
+                df,
+                self.table_name(name),
+                n_buckets,
+                key_col=bucket_key,
+                sort_cols=tuple(bucketing["sort_cols"]),
+                path=data_path,
+            )
+        else:
+            df.write.mode("overwrite").parquet(data_path)
+            out = self.spark.read.parquet(data_path)
         seconds = time.perf_counter() - t0
 
         n_rows = out.count()

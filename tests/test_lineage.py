@@ -32,6 +32,39 @@ def test_resume_skips_completed_stages(spark, tmp_path):
     assert not r3.skipped and calls["n"] == 2
 
 
+def test_bucketed_stage_resumes_shuffle_free(spark, tmp_path):
+    """A stage persisted with bucket_key comes back (even through a fresh
+    catalog, as after a session restart) as a bucketed table: the follow-up
+    detection-shaped groupBy(series_id) plans with ZERO exchanges."""
+    root = str(tmp_path / "job")
+
+    def build():
+        return spark.range(400).select(
+            (F.col("id") % 8).cast("string").alias("series_id"),
+            (F.col("id") / 8).cast("long").alias("t"),
+            F.rand(7).alias("value"),
+        )
+
+    job = CheckpointedJob(spark, root, {"seed": 1})
+    r1 = job.stage("series", build, bucket_key="series_id", n_buckets=4)
+    assert not r1.skipped
+
+    # simulate a fresh session: drop the catalog entry (external table —
+    # files survive), then resume from the sidecar alone
+    spark.sql(f"DROP TABLE IF EXISTS {job.table_name('series')}")
+    job2 = CheckpointedJob(spark, root, {"seed": 1})
+    r2 = job2.stage("series", build, bucket_key="series_id", n_buckets=4)
+    assert r2.skipped
+
+    agg = r2.df.groupBy("series_id").agg(F.sum("value").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert agg.count() == 8
+    # values intact through the bucketed round trip
+    assert r2.df.count() == 400
+    spark.sql(f"DROP TABLE IF EXISTS {job.table_name('series')}")
+
+
 def test_metrics_rows_emitted(spark, tmp_path):
     root = str(tmp_path / "job")
     job = CheckpointedJob(spark, root)
