@@ -117,20 +117,27 @@ def decode_segments(encoded: DataFrame) -> DataFrame:
     """Inverse: explode blobs back to (series_id, segment_id, t, value)."""
 
     def run(batches):
+        from pysatl_cpd_spark.operators.gorilla import decode_batch
+
         for pdf in batches:
-            out_series, out_seg, out_t, out_v = [], [], [], []
-            for _, row in pdf.iterrows():
-                ts, values = decode_segment(bytes(row["blob"]))
-                out_series.extend([row["series_id"]] * len(ts))
-                out_seg.extend([row["segment_id"]] * len(ts))
-                out_t.extend(ts.tolist())
-                out_v.extend(values.tolist())
+            decoded = decode_batch([bytes(b) for b in pdf["blob"]])
+            counts = np.array([ts.shape[0] for ts, _ in decoded], dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "series_id": pd.Series(out_series, dtype=str),
-                    "segment_id": pd.Series(out_seg, dtype="int64"),
-                    "t": pd.Series(out_t, dtype="int64"),
-                    "value": pd.Series(out_v, dtype="float64"),
+                    "series_id": pd.Series(
+                        np.repeat(pdf["series_id"].to_numpy(), counts), dtype=str
+                    ),
+                    "segment_id": pd.Series(
+                        np.repeat(pdf["segment_id"].to_numpy(), counts), dtype="int64"
+                    ),
+                    "t": pd.Series(
+                        np.concatenate([ts for ts, _ in decoded] or [np.empty(0, np.int64)]),
+                        dtype="int64",
+                    ),
+                    "value": pd.Series(
+                        np.concatenate([v for _, v in decoded] or [np.empty(0)]),
+                        dtype="float64",
+                    ),
                 }
             )
 
