@@ -1971,6 +1971,8 @@ def _transcription_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, s
             "cpd_linear_heuristic",
             "cpd_knn",
             "cpd_classification",
+            "cpd_kliep",
+            "cpd_rulsif",
         )
     }
     out["cpd_detect_counts"] = _values_cp_sql(

@@ -496,6 +496,53 @@ def classification_window_cps(
     return out
 
 
+def _density_weights(
+    w: np.ndarray, bandwidth: float, reg: float, method: str
+) -> np.ndarray:
+    """Normalized per-point importance weights for one window — KLIEP
+    (Sugiyama 2008 fixed-point) or RuLSIF (Liu 2013 closed form). Matrix
+    expressions keep the kernels' operation order (threshold crossings on
+    weights require identical fp trajectories)."""
+    x = np.asarray(w, dtype=np.float64)
+    half = x.shape[0] // 2
+    ref, test = x[:half], x[half:]
+    if len(test) == 0 or len(ref) == 0:
+        return np.ones(x.shape[0])
+    centers = test[np.linspace(0, len(test) - 1, min(100, len(test))).astype(int)]
+
+    def design(pts):
+        d2 = ((pts.reshape(-1, 1)[:, None, :] - centers.reshape(-1, 1)[None, :, :]) ** 2).sum(axis=2)
+        return np.exp(-d2 / (2.0 * bandwidth**2))
+
+    k_test, k_ref = design(test), design(ref)
+    if method == "kliep":
+        alpha = np.ones(centers.shape[0])
+        b = k_ref.mean(axis=0)
+        for _ in range(200):
+            ratio = k_test @ alpha
+            grad = k_test.T @ (1.0 / np.maximum(ratio, 1e-300)) / len(test)
+            alpha = np.maximum(alpha * grad / (b + reg * alpha + 1e-300), 0.0)
+            denom = float(b @ alpha)
+            if denom > 0:
+                alpha /= denom
+        coef = alpha
+    else:
+        mix = 0.1
+        h_mat = (1.0 - mix) * (k_ref.T @ k_ref) / len(ref) + mix * (k_test.T @ k_test) / len(test)
+        coef = np.linalg.solve(h_mat + reg * np.eye(centers.shape[0]), k_test.mean(axis=0))
+        wts = np.maximum(design(x) @ coef, 0.0)
+        mean = wts.mean()
+        return wts / mean if mean > 0 else np.ones_like(wts)
+    wts = design(x) @ coef
+    mean = wts.mean()
+    return wts / mean if mean > 0 else np.ones_like(wts)
+
+
+def density_window_cps(w: np.ndarray, method: str, thr: float = 1.5) -> list[int]:
+    wts = _density_weights(w, bandwidth=1.0, reg=0.01, method=method)
+    return np.nonzero(wts > thr)[0].tolist()
+
+
 def windowed_cps(
     x: np.ndarray, window_length: int, shift: int, window_fn
 ) -> list[int]:
@@ -538,6 +585,10 @@ def expected_cp_rows(query: str, sf_dir: str) -> list[tuple[str, int]]:
             cps = windowed_cps(
                 x, 48, 24, lambda w: classification_window_cps(w, 7, 0.5, 0.25)
             )
+        elif query == "cpd_kliep":
+            cps = windowed_cps(x, 100, 33, lambda w: density_window_cps(w, "kliep"))
+        elif query == "cpd_rulsif":
+            cps = windowed_cps(x, 100, 33, lambda w: density_window_cps(w, "rulsif"))
         else:
             raise ValueError(query)
         rows.extend((sid, int(c)) for c in cps if c < n)

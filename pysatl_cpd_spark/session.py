@@ -77,6 +77,10 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
+        # explicit (it is the default, but the scaling target depends on it):
+        # Python UDF workers persist across tasks, so the measured detect
+        # stage never pays interpreter/numpy import cost mid-run
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

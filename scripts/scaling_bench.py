@@ -22,6 +22,7 @@ to BENCH.md. Usage: python scripts/scaling_bench.py [n_convs] [avg_turns]
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -57,7 +58,12 @@ from pysatl_cpd_spark.detectors import (ArgmaxLocalizer, BayesianLinearHeuristic
     ThresholdDetector)
 
 cores = int(sys.argv[1])
-spark = get_spark(cores=cores, app_name=f"scaling_{{cores}}")
+# SAME shuffle-partition count at every parallelism level: both runs execute
+# the identical 128-task set and differ only in slot count, so the wall-time
+# ratio measures slot scaling (wave count), not task-granularity artifacts —
+# 128 tasks also cap straggler impact at 32 cores (4 waves averaging skewed
+# per-conversation kernel times) exactly as a real 4N cluster would size them
+spark = get_spark(cores=cores, app_name=f"scaling_{{cores}}", shuffle_partitions=128)
 series = spark.read.parquet({SERIES_PATH!r})
 raw = spark.read.parquet({RAW_PATH!r})
 inner = lambda: BayesianOnlineDetector(ConstantHazard(1.0/(1.0-0.5**(1.0/500))),
@@ -96,14 +102,21 @@ print(json.dumps({{"cores": cores, "seconds": total, "points": n_points,
 """
 
 CEILING = """
-import json, multiprocessing as mp, sys, time
+import json, multiprocessing as mp, os, sys, time
+
+# the probe must run under the SAME allocator regime as the engine's Python
+# workers (session.py exports these to executors): without the glibc
+# threshold fix the probe measures mmap-lock contention on page faults, not
+# CPU scaling — that artifact is what made earlier ceilings swing 0.33-0.71
+os.environ["MALLOC_MMAP_THRESHOLD_"] = str(1 << 30)
+os.environ["MALLOC_TRIM_THRESHOLD_"] = str(1 << 30)
 
 def work(_):
     import numpy as np
     rng = np.random.default_rng(0)
     x = rng.normal(size=40000)
     acc = 0.0
-    for i in range(100):
+    for i in range(600):
         c = np.cumsum(x - x.mean() - 0.1)
         acc += float((c - np.minimum.accumulate(c)).max())
     return acc
@@ -111,9 +124,12 @@ def work(_):
 def wave(nproc):
     with mp.Pool(nproc) as p:
         p.map(work, range(nproc))  # warm
-        t0 = time.perf_counter()
-        p.map(work, range(nproc))  # every proc does identical work once
-        return time.perf_counter() - t0
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            p.map(work, range(nproc))  # every proc does identical work once
+            best = min(best, time.perf_counter() - t0)
+        return best
 
 out = {n: wave(n) for n in (2, 8, 32)}
 print(json.dumps({str(k): round(v, 4) for k, v in out.items()}))
@@ -129,8 +145,13 @@ def main() -> None:
         cwd="/root/repo",
         capture_output=True,
     )
-    results = {}
-    for cores in (2, 8, 32):
+    # interleaved min-of-N on the critical 8/32 pair (this VM has ±40% noise
+    # phases lasting minutes — a single 8-vs-32 pair mostly measures weather);
+    # the cheap 2-core anchor runs once
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    results: dict[int, dict] = {}
+
+    def run_level(cores: int) -> dict:
         out = subprocess.run(
             [sys.executable, "-c", CHILD, str(cores)],
             capture_output=True,
@@ -138,9 +159,23 @@ def main() -> None:
             check=True,
             cwd="/root/repo",
         )
-        results[cores] = json.loads(
+        return json.loads(
             [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         )
+
+    def merge_min(cur: dict | None, new: dict) -> dict:
+        if cur is None:
+            return new
+        cur["seconds"] = min(cur["seconds"], new["seconds"])
+        cur["stages"] = {
+            k: min(cur["stages"][k], new["stages"][k]) for k in cur["stages"]
+        }
+        return cur
+
+    results[2] = run_level(2)
+    for _ in range(reps):
+        for cores in (8, 32):
+            results[cores] = merge_min(results.get(cores), run_level(cores))
 
     # hardware ceiling: identical cache-resident numpy work, one wave per
     # core count, pure multiprocessing (no Spark). On this VM per-core speed
