@@ -50,3 +50,71 @@ def test_constant_series_compresses(self=None):
     assert len(blob) < 300
     ts2, v2 = decode_segment(blob)
     assert np.array_equal(ts, ts2) and np.array_equal(values, v2)
+
+
+def _encode_v1(ts, values):
+    """Reference v1 (interleaved) writer — kept in the test to pin the legacy
+    decode path now that the engine encodes v2: header [n|ts0|v0|delta0] then
+    per record (dod token, value token) interleaved, '11' explicit windows."""
+    from pysatl_cpd_spark.operators.gorilla import _BitWriter
+
+    w = _BitWriter()
+    n = len(ts)
+    w.write(n, 32)
+    if n >= 1:
+        w.write(int(ts[0]), 64)
+        w.write(int(np.float64(values[0]).view(np.uint64)), 64)
+    if n >= 2:
+        deltas = np.diff(ts)
+        w.write(int(deltas[0]), 64)
+    prev_bits = int(np.float64(values[0]).view(np.uint64)) if n else 0
+    for i in range(1, n):
+        if i >= 2:
+            dod = int(deltas[i - 1] - deltas[i - 2])
+            if dod == 0:
+                w.write(0, 1)
+            elif -64 <= dod < 64:
+                w.write(0b10, 2)
+                w.write(dod, 7)
+            elif -256 <= dod < 256:
+                w.write(0b110, 3)
+                w.write(dod, 9)
+            elif -2048 <= dod < 2048:
+                w.write(0b1110, 4)
+                w.write(dod, 12)
+            else:
+                w.write(0b1111, 4)
+                w.write(dod, 64)
+        cur = int(np.float64(values[i]).view(np.uint64))
+        x = prev_bits ^ cur
+        if x == 0:
+            w.write(0, 1)
+        else:
+            lead = max(0, 63 - x.bit_length() + 1) if x else 64
+            trail = (x & -x).bit_length() - 1
+            mean = 64 - lead - trail
+            w.write(0b11, 2)
+            w.write(lead, 6)
+            w.write(mean, 7)
+            w.write(x >> trail, mean)
+        prev_bits = cur
+    return w.bytes()
+
+
+def test_legacy_v1_blob_decodes():
+    """Blobs written before the v2 layout (no 0x47 marker) must keep
+    decoding through the sequential reader."""
+    from pysatl_cpd_spark.operators.gorilla import decode_batch
+
+    rng = np.random.default_rng(5)
+    ts = np.cumsum(rng.integers(1, 500, 300)).astype(np.int64)
+    values = np.round(rng.normal(size=300), 3)
+    blob = _encode_v1(ts, values)
+    assert blob[0] != 0x47
+    t2, v2 = decode_segment(blob)
+    assert np.array_equal(t2, ts) and np.array_equal(v2, values)
+    # mixed batch: v1 and v2 blobs interleaved
+    blob2 = encode_segment(ts + 7, values * 2)
+    out = decode_batch([blob, blob2, blob])
+    assert np.array_equal(out[0][0], ts) and np.array_equal(out[2][1], values)
+    assert np.array_equal(out[1][0], ts + 7) and np.array_equal(out[1][1], values * 2)
