@@ -40,3 +40,22 @@ def test_kv_store_roundtrip(tmp_path):
     assert np.array_equal(kv.load("an_array"), cases["an_array"])
     assert kv.load("a_dict") == {"nested": {"cps": [1, 2], "score": 0.9}}
     assert kv.load("np_scalar") == 7
+
+
+def test_visualize_svg(tmp_path):
+    """E5 (reference icpd_solver.py:114-173): series + detected (solid) +
+    expected (dashed) change-point verticals, rendered without matplotlib."""
+    import numpy as np
+
+    from pysatl_cpd_spark.operators.visualize import render_series_svg, visualize
+
+    vals = np.concatenate([np.zeros(50), np.ones(50) * 4.0])
+    path = visualize(vals, str(tmp_path), "run1", detected=[50, 80], expected=[50])
+    svg = open(path).read()
+    assert svg.startswith("<svg") and "polyline" in svg
+    assert svg.count('class="detected-cp"') == 2
+    assert svg.count('class="expected-cp"') == 1
+    assert "run1" in svg
+    # out-of-range change points are clipped, empty series still renders
+    empty = render_series_svg([], detected=[3])
+    assert empty.startswith("<svg") and "polyline" not in empty
