@@ -1371,6 +1371,40 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+def ngram_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination scan with every 10th document standing in as the
+    benchmark suite; n=4 (synthetic docs are 10-100 words — the published
+    n=13 convention is the operator default for real corpora). Params chosen
+    for NONZERO gate output: 85 contaminated docs at sf0.01."""
+    from pysatl_cpd_spark.operators.dedup import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 10 == 0)
+    return ngram_contamination(docs, probes, n=4)
+
+
+CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS arr
+  FROM documents
+), gr AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]
+                             || ' ' || arr[i + 3]), 1, 15) AS BIGINT) AS g
+  FROM toks, unnest(generate_series(1, greatest(len(arr) - 3, 0))) AS t(i)
+), probe AS (
+  SELECT doc_id AS probe_id, g FROM gr WHERE doc_id % 10 = 0
+)
+SELECT d.doc_id,
+       CAST(count(DISTINCT d.g) AS BIGINT) AS n_matched_grams,
+       CAST(count(DISTINCT p.probe_id) AS BIGINT) AS n_probes_hit
+FROM gr d JOIN probe p USING (g)
+WHERE d.doc_id != p.probe_id
+GROUP BY d.doc_id
+"""
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.operators.dedup import simhash_near_dups
 
@@ -1900,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpd_rulsif": cpd_rulsif,
         "cpd_detect_counts": cpd_detect_counts,
         "minhash_lsh_pairs": minhash_lsh_pairs,
+        "ngram_contamination": ngram_contamination_q,
         "simhash_pairs": simhash_pairs,
         "lsh_cosine_topk": lsh_cosine_query,
         "ivf_cosine_topk": ivf_cosine_query,
@@ -2011,6 +2046,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "embeddings_cosine_topk": COSINE_SQL,
         "minhash_signatures": _minhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "ngram_contamination": CONTAMINATION_SQL,
         "simhash_pairs": _simhash_pairs_sql(),
         "lsh_cosine_topk": _lsh_cosine_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),

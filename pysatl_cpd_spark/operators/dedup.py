@@ -135,11 +135,52 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     token array (transform + filter — JVM-side)."""
     squeezed = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     toks = F.split(squeezed, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    # guard: a doc shorter than n words has NO shingles (sequence(0, -1)
+    # would otherwise count down and feed slice() an invalid start)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
         .distinct()
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination scan — the n-gram-overlap hygiene test LLM
+    training pipelines run against eval suites (n=13 is the published GPT-3 /
+    PaLM convention; pass a smaller n for short documents): a document is
+    flagged when any of its word n-grams exactly matches an n-gram from the
+    probe (benchmark) set. The probe side is orders of magnitude smaller than
+    the corpus, so it BROADCASTS into the equi-join on the portable 60-bit
+    md5 hash — the 100-TB corpus is scanned once with no corpus-side shuffle
+    before the (contaminated-only) per-doc aggregate. Output:
+    (doc_id, n_matched_grams, n_probes_hit)."""
+    doc_g = shingles(docs, n, id_col, text_col).select(
+        "doc_id", token_hash64(F.col("shingle")).alias("g")
+    )
+    probe_g = (
+        shingles(probes, n, probe_id_col, probe_text_col)
+        .select(F.col("doc_id").alias("probe_id"), token_hash64(F.col("shingle")).alias("g"))
+        .distinct()
+    )
+    return (
+        doc_g.join(F.broadcast(probe_g), "g")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_matched_grams"),
+            F.countDistinct("probe_id").alias("n_probes_hit"),
+        )
     )
 
 
@@ -211,16 +252,25 @@ def minhash_lsh_candidates(
 
     a = banded.alias("a")
     b = banded.alias("b")
+    # emit each pair from its lowest agreeing band only (both signatures are
+    # in-row, so band agreement is a cheap array compare) — kills the
+    # distinct shuffle over up-to-`bands`-fold duplicated candidates
+    min_band = F.lit(bands)
+    for i in reversed(range(bands)):
+        band_eq = F.slice(F.col("a.signature"), i * rows_per_band + 1, rows_per_band) == F.slice(
+            F.col("b.signature"), i * rows_per_band + 1, rows_per_band
+        )
+        min_band = F.when(band_eq, F.lit(i)).otherwise(min_band)
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a.band") == min_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.signature").alias("sig_a"),
             F.col("b.signature").alias("sig_b"),
         )
-        .distinct()
     )
     agree = F.size(
         F.filter(
