@@ -279,8 +279,11 @@ def ivf_cosine_topk(
         )
     if round_digits is not None:
         cosine = F.round(cosine, round_digits)
+    # the probe side is tiny (queries × n_probe) but its size estimate is
+    # lost behind the centroid cross-join + explode, so Spark would fall
+    # back to a sort-merge join — force the broadcast the cardinality wants
     scored = (
-        c.join(q, "list_id")
+        c.join(F.broadcast(q), "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine)
         .select("query_id", "neighbor_id", "cosine")

@@ -25,6 +25,8 @@ SHOW = [
     "cpd_bocpd_offline",
     "gorilla_roundtrip",
     "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_contamination",
     "ivf_cosine_topk",
     "transcripts_cpd_rollup",
 ]
@@ -54,7 +56,8 @@ def summarize(plan: str) -> dict:
     return {
         "exchanges (shuffles)": plan.count("Exchange hashpartitioning")
         + plan.count("Exchange rangepartitioning"),
-        "broadcast joins": plan.count("BroadcastHashJoin"),
+        "broadcast joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
         "sort-merge joins": plan.count("SortMergeJoin"),
         "wholestage codegen spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "python (arrow) evals": plan.count("FlatMapGroupsInPandas")
