@@ -66,13 +66,20 @@ def encode_segments(segmented: DataFrame) -> DataFrame:
     return pruned.groupBy("series_id", "segment_id").applyInPandas(run, SEGMENT_SCHEMA)
 
 
-def encode_segments_adaptive(series_df: DataFrame, cps_df: DataFrame) -> DataFrame:
+def encode_segments_adaptive(
+    series_df: DataFrame, cps_df: DataFrame, bundles: int = 256
+) -> DataFrame:
     """Fused assign_segments + encode_segments: change-point markers arrive
     via a broadcast join (no shuffle — cps_df is tiny relative to the
-    series), the segment split happens vectorized inside one per-series
-    grouped UDF, and the groupBy(series_id) reuses the series' existing hash
-    partitioning. One shuffle for the whole segment-materialization stage
-    instead of three (join + window + regroup)."""
+    series), and the segment split happens vectorized inside a grouped UDF.
+
+    Series are BUNDLED ``bundles`` ways (group key = hash(series_id) mod
+    bundles) instead of grouped per series: Arrow ships one batch per
+    *bundle*, so the per-group pandas/serde overhead (~ms) amortizes over
+    many series — at millions of 400-turn conversations, per-series groups
+    spend more time in group plumbing than in the codec. Inside the UDF the
+    bundle is sorted once by (series_id, t) and split on series boundaries
+    + markers with numpy. One shuffle for the whole stage, same output."""
     from pyspark.sql import functions as F
 
     markers = (
@@ -81,26 +88,47 @@ def encode_segments_adaptive(series_df: DataFrame, cps_df: DataFrame) -> DataFra
         )
         .distinct()
     )
-    joined = series_df.select("series_id", "t", "value").join(
-        F.broadcast(markers), on=["series_id", "t"], how="left"
+    # explicit repartition by bundle: the UDF stage is Python-cost-bound,
+    # and AQE's byte-based coalescing would shrink a small-but-CPU-heavy
+    # shuffle to a handful of tasks; a user-specified partition count is
+    # exempt from coalescing and already satisfies the groupBy distribution
+    joined = (
+        series_df.select("series_id", "t", "value")
+        .join(F.broadcast(markers), on=["series_id", "t"], how="left")
+        .withColumn("_bundle", F.pmod(F.hash("series_id"), F.lit(bundles)))
+        .repartition(bundles, "_bundle")
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
+        pdf = pdf.sort_values(["series_id", "t"], kind="mergesort")
+        sids = pdf["series_id"].to_numpy()
         ts = pdf["t"].to_numpy(dtype=np.int64)
         values = pdf["value"].to_numpy(dtype=np.float64)
-        seg_ids = np.cumsum(pdf["_cp"].fillna(0).to_numpy(dtype=np.int64))
+        cp = pdf["_cp"].fillna(0).to_numpy(dtype=np.int64)
+        # series boundaries reset the running segment counter
+        new_series = np.empty(len(sids), dtype=bool)
+        new_series[0] = True
+        new_series[1:] = sids[1:] != sids[:-1]
         out = {k: [] for k in (
             "series_id", "segment_id", "n_points", "t_min", "t_max",
             "min_value", "max_value", "first_value", "last_value", "blob",
         )}
-        bounds = np.flatnonzero(np.diff(seg_ids)) + 1
-        for seg_ts, seg_vals, seg_id in zip(
-            np.split(ts, bounds), np.split(values, bounds), np.unique(seg_ids)
+        # split where a new series starts or a change point lands; segment id
+        # = within-series running count of markers (cumsum semantics, so a
+        # marker on a series' first row labels it segment 1, as before)
+        bounds = np.flatnonzero(new_series[1:] | (cp[1:] == 1)) + 1
+        cum = np.cumsum(cp)
+        base = 0
+        for lo, hi in zip(
+            np.concatenate([[0], bounds]), np.concatenate([bounds, [len(sids)]])
         ):
-            out["series_id"].append(pdf["series_id"].iloc[0])
-            out["segment_id"].append(int(seg_id))
-            out["n_points"].append(len(seg_ts))
+            if new_series[lo]:
+                base = int(cum[lo]) - int(cp[lo])
+            seg_id = int(cum[lo]) - base
+            seg_ts, seg_vals = ts[lo:hi], values[lo:hi]
+            out["series_id"].append(sids[lo])
+            out["segment_id"].append(seg_id)
+            out["n_points"].append(hi - lo)
             out["t_min"].append(int(seg_ts[0]))
             out["t_max"].append(int(seg_ts[-1]))
             out["min_value"].append(float(np.min(seg_vals)))
@@ -110,7 +138,7 @@ def encode_segments_adaptive(series_df: DataFrame, cps_df: DataFrame) -> DataFra
             out["blob"].append(encode_segment(seg_ts, seg_vals))
         return pd.DataFrame(out)
 
-    return joined.groupBy("series_id").applyInPandas(run, SEGMENT_SCHEMA)
+    return joined.groupBy("_bundle").applyInPandas(run, SEGMENT_SCHEMA)
 
 
 def decode_segments(encoded: DataFrame) -> DataFrame:
