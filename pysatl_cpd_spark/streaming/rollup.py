@@ -37,3 +37,37 @@ def streaming_rollup(
         .select(*key_cols, F.col("w.start").alias("bucket"), "n_points",
                 "min_value", "max_value", "avg_value", "sum_value")
     )
+
+
+def streaming_rollup_distinct(
+    stream_df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    watermark: str = "10 minutes",
+    lgk: int = 12,
+) -> DataFrame:
+    """Streaming twin of operators/rollup.rollup_tier_distinct: a MERGEABLE
+    DataSketches HLL per watermarked tumbling window. The emitted
+    ``distinct_sketch`` is the same binary Spark's batch ``hll_union_agg``
+    consumes, so a stream→lake handoff keeps the hierarchy property: the
+    streaming 1m tier lands in the lake and the 1h/1d tiers re-aggregate
+    sketches without ever rescanning the stream's raw events."""
+    duration = _TIER_DURATION[tier]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.window(ts_col, duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.hll_sketch_agg(F.col(id_col), F.lit(lgk)).alias("distinct_sketch"),
+        )
+        .withColumn("distinct_est", F.hll_sketch_estimate("distinct_sketch"))
+        .select(
+            *key_cols,
+            F.col("w.start").alias("bucket"),
+            "n_points",
+            "distinct_sketch",
+            "distinct_est",
+        )
+    )
