@@ -149,6 +149,18 @@ def main() -> None:
             break
         flagship_sec = min(flagship_sec, run_flagship(spark, n_convs, avg_turns)[0])
     timings["transcripts_cpd_rollup"] = round(flagship_sec, 3)
+
+    # amortization point: the identical pipeline at 4x the input. The
+    # default flagship (600k pts) is dominated by fixed per-job overhead;
+    # the north-star metric is a throughput, so its trend WITH scale is the
+    # number that predicts cluster behavior (budget-guarded).
+    extra: dict[str, float] = {}
+    if time.perf_counter() - total0 < rerun_budget + 2 * flagship_sec:
+        scale_sec, scale_points = run_flagship(spark, n_convs * 4, avg_turns)
+        extra = {
+            "rollup_points_at_scale": scale_points,
+            "rollup_points_per_sec_at_scale": round(scale_points / scale_sec, 1),
+        }
     total = time.perf_counter() - total0
 
     # headline value = sum of per-query min-of-N timings: invariant to the
@@ -169,6 +181,7 @@ def main() -> None:
                 "rollup_points_per_sec": round(points / flagship_sec, 1),
                 "rollup_points": points,
                 "cores": cores,
+                **extra,
             }
         )
     )
