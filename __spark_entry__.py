@@ -1872,6 +1872,97 @@ def transcripts_cpd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def transcripts_segment_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule composition on the deterministic transcripts: segments
+    between CUSUM change points gap-filled onto the dense turn grid
+    (LOCF + linear interpolation) — what runs just before encoding. Tool
+    turns are excluded from the rate series (they carry no conversational
+    latency), so the turn grid has REAL holes at their indices and the fill
+    columns are exercised, not vacuous."""
+    from pysatl_cpd_spark.detectors import CusumDetector
+    from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.operators.cusum import cusum_prefilter
+    from pysatl_cpd_spark.operators.gapfill import segment_gapfill_turns
+    from pysatl_cpd_spark.operators.series import turn_rate_series
+    from pysatl_cpd_spark.sources.transcripts import transcripts_table
+
+    tr = transcripts_table(spark, n_conversations=20, avg_turns=300, seed=42)
+    series = turn_rate_series(tr.filter(F.col("role") != "tool")).cache()
+    alarmed = cusum_prefilter(series, k=0.05, h=2.0)
+    gated = series.join(F.broadcast(alarmed), "series_id", "left_semi")
+    cps = detect_offline(gated, lambda: CusumDetector(k=0.05, h=2.0))
+    out = segment_gapfill_turns(series, cps)
+    return out.select(
+        "series_id",
+        "segment_id",
+        "t",
+        F.col("value").isNotNull().alias("observed"),
+        F.round("value_locf", 9).alias("value_locf"),
+        F.round("value_interp", 9).alias("value_interp"),
+    )
+
+
+def _segment_gapfill_sql(k: float = 0.05, h: float = 2.0, learning: int = 50) -> str:
+    """SQL twin of transcripts_segment_gapfill: flagship VALUES series +
+    CUSUM chain + segment assignment, then the dense per-segment turn grid
+    with LOCF / bracketing-interpolation windows (IGNORE NULLS), expression
+    order mirroring operators/gapfill.segment_gapfill_turns."""
+    from pysatl_cpd_spark.oracle.flagship import flagship_series_values
+
+    return f"""
+WITH RECURSIVE raw(series_id, pos, t, value) AS (VALUES
+{flagship_series_values(drop_tool=True)}
+), series AS (
+  SELECT series_id, pos, value FROM raw
+), {_cusum_chain_sql(k, h, learning)}, cps AS (
+  SELECT DISTINCT c.series_id, r.t
+  FROM chain c
+  JOIN alarms a USING (series_id, p)
+  JOIN raw r ON r.series_id = c.series_id AND r.pos = a.cp
+), assigned AS (
+  SELECT r.series_id, r.t, r.value,
+         sum(CASE WHEN c.t IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.series_id ORDER BY r.t
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM raw r LEFT JOIN cps c ON c.series_id = r.series_id AND c.t = r.t
+), extent AS (
+  SELECT series_id, seg, min(t) AS lo, max(t) AS hi
+  FROM assigned GROUP BY series_id, seg
+), grid AS (
+  SELECT e.series_id, e.seg, gs.t
+  FROM extent e, unnest(generate_series(e.lo, e.hi)) AS gs(t)
+), g AS (
+  SELECT gr.series_id, gr.seg, gr.t, a.value
+  FROM grid gr LEFT JOIN assigned a
+    ON a.series_id = gr.series_id AND a.seg = gr.seg AND a.t = gr.t
+), f AS (
+  SELECT series_id, seg, t, value,
+         last_value(value IGNORE NULLS) OVER wback AS pv,
+         first_value(value IGNORE NULLS) OVER wfwd AS nv,
+         last_value(CASE WHEN value IS NOT NULL THEN CAST(t AS DOUBLE) END
+                    IGNORE NULLS) OVER wback AS pt,
+         first_value(CASE WHEN value IS NOT NULL THEN CAST(t AS DOUBLE) END
+                     IGNORE NULLS) OVER wfwd AS nt
+  FROM g
+  WINDOW wback AS (PARTITION BY series_id, seg ORDER BY t
+                   ROWS UNBOUNDED PRECEDING),
+         wfwd AS (PARTITION BY series_id, seg ORDER BY t
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT series_id,
+       CAST(seg AS BIGINT) AS segment_id,
+       CAST(t AS BIGINT) AS t,
+       value IS NOT NULL AS observed,
+       round(pv, 9) AS value_locf,
+       round(CASE WHEN value IS NOT NULL THEN value
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * ((CAST(t AS DOUBLE) - pt) / (nt - pt))
+             END, 9) AS value_interp
+FROM f
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: CPD-adaptive segment rollup of per-user event
     series (detect CPs JVM-side via CUSUM scores, segment, Gorilla-encode,
@@ -1945,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_distinct_daily": rollup_distinct_daily,
         "multimodal_features": multimodal_features,
         "transcripts_cpd_rollup": transcripts_cpd_rollup,
+        "transcripts_segment_gapfill": transcripts_segment_gapfill,
     }
 
 
@@ -1963,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
     # needed); guard so a literal-generation failure degrades to rows-only
     try:
         out["transcripts_cpd_rollup"] = _flagship_sql()
+        out["transcripts_segment_gapfill"] = _segment_gapfill_sql()
     except Exception:  # noqa: BLE001
         pass
     # sequential detectors: expected rows computed at oracle-build time by

@@ -97,3 +97,51 @@ def gap_fill(
     bucketed = bucketize(df, key_cols, tier, ts_col, value_col)
     grid = dense_grid(bucketed, key_cols, tier)
     return fill_interpolate(fill_locf(grid, key_cols), key_cols)
+
+
+def segment_gapfill_turns(series_df: DataFrame, cps_df: DataFrame) -> DataFrame:
+    """The north-rule composition: per-(series, SEGMENT) gap-fill on the
+    dense integer turn grid — segments between detected change points are
+    filled by LOCF + linear interpolation before they are encoded/rolled up.
+    Entirely window functions + one sequence/explode; the only shuffles are
+    the segment-extent aggregate and the per-segment windows.
+
+    Input: series (series_id, t, value) + change points (series_id,
+    change_point). Output one row per (series_id, segment_id, t) on each
+    segment's [t_min, t_max] grid: observed ``value`` (null in gaps),
+    ``value_locf``, ``value_interp`` (edges fall back to LOCF/NOCB)."""
+    from pysatl_cpd_spark.operators.segments import assign_segments
+
+    seg = assign_segments(series_df, cps_df)
+    extent = seg.groupBy("series_id", "segment_id").agg(
+        F.min("t").alias("_lo"), F.max("t").alias("_hi")
+    )
+    grid = extent.select(
+        "series_id",
+        "segment_id",
+        F.explode(F.sequence("_lo", "_hi")).alias("t"),
+    )
+    g = grid.join(seg, on=["series_id", "segment_id", "t"], how="left")
+
+    keys = ["series_id", "segment_id"]
+    back = W.partitionBy(*keys).orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.partitionBy(*keys).orderBy("t").rowsBetween(0, W.unboundedFollowing)
+    td = F.col("t").cast("double")
+    prev_val = F.last("value", ignorenulls=True).over(back)
+    next_val = F.first("value", ignorenulls=True).over(fwd)
+    prev_t = F.last(F.when(F.col("value").isNotNull(), td), ignorenulls=True).over(back)
+    next_t = F.first(F.when(F.col("value").isNotNull(), td), ignorenulls=True).over(fwd)
+    frac = (td - prev_t) / (next_t - prev_t)
+    interp = F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+        F.when(prev_val.isNull(), next_val)
+        .when(next_val.isNull(), prev_val)
+        .otherwise(prev_val + (next_val - prev_val) * frac)
+    )
+    return g.select(
+        "series_id",
+        "segment_id",
+        "t",
+        "value",
+        prev_val.alias("value_locf"),
+        interp.alias("value_interp"),
+    )

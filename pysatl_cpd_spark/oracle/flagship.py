@@ -24,12 +24,18 @@ import numpy as np
 
 
 def flagship_series_rows(
-    n_conversations: int = 20, avg_turns: int = 300, seed: int = 42
+    n_conversations: int = 20,
+    avg_turns: int = 300,
+    seed: int = 42,
+    drop_tool: bool = False,
 ) -> list[tuple[str, int, int, float]]:
     """(series_id, pos, t, value) rows of the flagship turn-rate series.
 
     ``pos`` is the dense per-series position (row_number by t − 1) the CUSUM
     SQL chain indexes by; ``t`` is the global turn_idx carried for remap.
+    ``drop_tool=True`` removes tool turns BEFORE the lag (the
+    segment-gap-fill query's series: gaps then bridge the removed turns and
+    the dense turn grid has real holes at their indices).
     """
     from pysatl_cpd_spark.sources.transcripts import _gen_conversation
 
@@ -37,9 +43,13 @@ def flagship_series_rows(
     for i in range(n_conversations):
         pdf = _gen_conversation(i, avg_turns, seed, None, with_text=False)
         ts_us = pdf["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+        turn_idx = pdf["turn_idx"].to_numpy()
+        if drop_tool:
+            mask = (pdf["role"] != "tool").to_numpy()
+            ts_us, turn_idx = ts_us[mask], turn_idx[mask]
         tsd = ts_us.astype(np.float64) / 1e6  # Spark cast(ts as double)
         gaps = tsd[1:] - tsd[:-1]
-        turn_idx = pdf["turn_idx"].to_numpy()[1:]
+        turn_idx = turn_idx[1:]
         keep = gaps > 0.0
         values = 1.0 / gaps[keep]
         ts_kept = turn_idx[keep]

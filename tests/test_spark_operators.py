@@ -274,3 +274,31 @@ def test_distinct_sketch_hierarchy(spark):
     }
     for k, est in day_h.items():
         assert abs(est - exact[k]) / max(exact[k], 1) < 0.05, (k, est, exact[k])
+
+
+def test_segment_gapfill_turns(spark):
+    """North-rule gap-fill between change points: holes in the per-segment
+    turn grid get LOCF + linear interpolation; segment boundaries are never
+    bridged (each segment fills independently)."""
+    from pysatl_cpd_spark.operators.gapfill import segment_gapfill_turns
+
+    series = spark.createDataFrame(
+        [("s", 0, 1.0), ("s", 1, 2.0), ("s", 4, 8.0),   # hole at t=2,3
+         ("s", 5, 10.0), ("s", 7, 20.0)],                # hole at t=6
+        "series_id string, t long, value double",
+    )
+    cps = spark.createDataFrame([("s", 5)], "series_id string, change_point long")
+    rows = {
+        (r.series_id, r.segment_id, r.t): r
+        for r in segment_gapfill_turns(series, cps).collect()
+    }
+    assert len(rows) == 8  # seg0: t 0..4 (5 rows), seg1: t 5..7 (3 rows)
+    # linear interp inside seg0's hole: 2.0 -> 8.0 over t in (1, 4)
+    assert abs(rows[("s", 0, 2)].value_interp - 4.0) < 1e-12
+    assert abs(rows[("s", 0, 3)].value_interp - 6.0) < 1e-12
+    assert rows[("s", 0, 2)].value_locf == 2.0 and rows[("s", 0, 3)].value_locf == 2.0
+    # seg1 fills between its own points only (5 -> 7), never from seg0
+    assert abs(rows[("s", 1, 6)].value_interp - 15.0) < 1e-12
+    assert rows[("s", 1, 6)].value_locf == 10.0
+    # observed rows pass through untouched
+    assert rows[("s", 0, 4)].value_interp == 8.0 and rows[("s", 1, 5)].value_locf == 10.0
