@@ -1963,6 +1963,32 @@ FROM f
 """
 
 
+def transcripts_tool_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call-rate series (input_hint's second derived series): fraction
+    of tool turns per 20-turn micro-bucket, per conversation."""
+    from pysatl_cpd_spark.operators.series import tool_call_rate_series
+    from pysatl_cpd_spark.sources.transcripts import transcripts_table
+
+    tr = transcripts_table(spark, n_conversations=20, avg_turns=300, seed=42)
+    out = tool_call_rate_series(tr, bucket_turns=20)
+    return out.select("series_id", "t", F.round("value", 9).alias("value"))
+
+
+def _tool_rate_sql(bucket_turns: int = 20) -> str:
+    from pysatl_cpd_spark.oracle.flagship import tool_flag_values
+
+    return f"""
+WITH raw(series_id, turn_idx, is_tool) AS (VALUES
+{tool_flag_values()}
+)
+SELECT series_id,
+       CAST(turn_idx // {bucket_turns} AS BIGINT) AS t,
+       round(CAST(sum(is_tool) AS DOUBLE) / count(*), 9) AS value
+FROM raw
+GROUP BY series_id, turn_idx // {bucket_turns}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: CPD-adaptive segment rollup of per-user event
     series (detect CPs JVM-side via CUSUM scores, segment, Gorilla-encode,
@@ -2037,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "transcripts_cpd_rollup": transcripts_cpd_rollup,
         "transcripts_segment_gapfill": transcripts_segment_gapfill,
+        "transcripts_tool_rate": transcripts_tool_rate,
     }
 
 
@@ -2056,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
     try:
         out["transcripts_cpd_rollup"] = _flagship_sql()
         out["transcripts_segment_gapfill"] = _segment_gapfill_sql()
+        out["transcripts_tool_rate"] = _tool_rate_sql()
     except Exception:  # noqa: BLE001
         pass
     # sequential detectors: expected rows computed at oracle-build time by

@@ -65,3 +65,22 @@ def flagship_series_values(**kwargs) -> str:
     return ",\n".join(
         f"('{sid}', {pos}, {t}, {v!r})" for sid, pos, t, v in rows
     )
+
+
+def tool_flag_values(
+    n_conversations: int = 20, avg_turns: int = 300, seed: int = 42
+) -> str:
+    """(conv_id, turn_idx, is_tool) VALUES body for the tool-call-rate
+    oracle — is_tool mirrors the engine's ``tool IS NOT NULL`` test."""
+    from pysatl_cpd_spark.sources.transcripts import _gen_conversation
+
+    parts = []
+    for i in range(n_conversations):
+        pdf = _gen_conversation(i, avg_turns, seed, None, with_text=False)
+        conv_id = str(pdf["conv_id"].iloc[0])
+        flags = (pdf["role"] == "tool").to_numpy()
+        parts.extend(
+            f"('{conv_id}', {t}, {int(f)})"
+            for t, f in zip(pdf["turn_idx"].tolist(), flags.tolist())
+        )
+    return ",\n".join(parts)
