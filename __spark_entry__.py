@@ -2039,7 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpd_confusion": cpd_confusion,
         "scrubber_windows": scrubber_windows_q,
         "gorilla_roundtrip": gorilla_roundtrip,
-        # non-SQL-expressible (rows-only)
+        # sequential detectors: value-checked via transcription VALUES
+        # oracles built at oracle_sql() time (oracle/transcriptions.py)
         "cpd_bocpd_offline": cpd_bocpd_offline,
         "cpd_bocpd_online": cpd_bocpd_online,
         "cpd_linear_heuristic": cpd_linear_heuristic,
