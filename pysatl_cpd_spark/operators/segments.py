@@ -141,6 +141,62 @@ def encode_segments_adaptive(
     return joined.groupBy("_bundle").applyInPandas(run, SEGMENT_SCHEMA)
 
 
+def compact_segments(encoded: DataFrame, min_points: int = 4096) -> DataFrame:
+    """Blob maintenance (the Gorilla paper's block-merge): adjacent segments
+    of a series whose point counts fall below ``min_points`` are decoded,
+    concatenated in time order, and re-encoded as one blob, greedily until
+    each output segment reaches the floor (the final segment of a series may
+    stay smaller). Output schema == SEGMENT_SCHEMA with ``segment_id``
+    renumbered densely; summaries are recomputed from the merged points, so
+    compact(decode) == decode — the roundtrip invariant is preserved and
+    pytest-asserted. Runs per-series in a grouped UDF over the (tiny)
+    segment-summary table; decode/encode are the vectorized batch kernels,
+    so compaction cost is O(points) numpy, not per-point Python."""
+    from pysatl_cpd_spark.operators.gorilla import decode_batch
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t_min")
+        decoded = decode_batch([bytes(b) for b in pdf["blob"]])
+        out = {k: [] for k in (
+            "series_id", "segment_id", "n_points", "t_min", "t_max",
+            "min_value", "max_value", "first_value", "last_value", "blob",
+        )}
+        acc_ts: list = []
+        acc_vals: list = []
+
+        def flush() -> None:
+            if not acc_ts:
+                return
+            ts = np.concatenate(acc_ts)
+            vals = np.concatenate(acc_vals)
+            out["series_id"].append(pdf["series_id"].iloc[0])
+            out["segment_id"].append(len(out["segment_id"]))
+            out["n_points"].append(len(ts))
+            out["t_min"].append(int(ts[0]))
+            out["t_max"].append(int(ts[-1]))
+            out["min_value"].append(float(np.min(vals)))
+            out["max_value"].append(float(np.max(vals)))
+            out["first_value"].append(float(vals[0]))
+            out["last_value"].append(float(vals[-1]))
+            out["blob"].append(encode_segment(ts, vals))
+            acc_ts.clear()
+            acc_vals.clear()
+
+        n_acc = 0
+        for ts, vals in decoded:
+            acc_ts.append(ts)
+            acc_vals.append(vals)
+            n_acc += len(ts)
+            if n_acc >= min_points:
+                flush()
+                n_acc = 0
+        flush()
+        return pd.DataFrame(out)
+
+    pruned = encoded.select("series_id", "t_min", "blob")
+    return pruned.groupBy("series_id").applyInPandas(run, SEGMENT_SCHEMA)
+
+
 def decode_segments(encoded: DataFrame) -> DataFrame:
     """Inverse: explode blobs back to (series_id, segment_id, t, value)."""
 

@@ -118,3 +118,46 @@ def test_legacy_v1_blob_decodes():
     out = decode_batch([blob, blob2, blob])
     assert np.array_equal(out[0][0], ts) and np.array_equal(out[2][1], values)
     assert np.array_equal(out[1][0], ts + 7) and np.array_equal(out[1][1], values * 2)
+
+
+def test_compact_segments_roundtrip(spark):
+    """Compaction merges small adjacent blobs without losing a point:
+    decode(compact(encoded)) == decode(encoded) == the original series,
+    segment count drops, and summaries match the merged points."""
+    from pyspark.sql import functions as F
+
+    from pysatl_cpd_spark.operators.segments import (
+        compact_segments,
+        decode_segments,
+        encode_segments_adaptive,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for s in range(4):
+        ts = np.cumsum(rng.integers(1, 9, 500))
+        vals = rng.normal(size=500)
+        rows += [(f"s{s}", int(t), float(v)) for t, v in zip(ts, vals)]
+    series = spark.createDataFrame(rows, "series_id string, t long, value double")
+    # many tiny segments: a change point every ~50 points
+    cps = series.filter(F.col("t") % 50 == 3).select(
+        "series_id", F.col("t").alias("change_point")
+    )
+    encoded = encode_segments_adaptive(series, cps).cache()
+    compacted = compact_segments(encoded, min_points=200).cache()
+
+    n_before = encoded.count()
+    n_after = compacted.count()
+    assert n_after < n_before
+    assert compacted.filter(F.col("n_points") < 200).groupBy("series_id").count().count() <= 4  # only tails
+
+    orig = decode_segments(encoded).select("series_id", "t", "value")
+    comp = decode_segments(compacted).select("series_id", "t", "value")
+    assert orig.exceptAll(comp).count() == 0 and comp.exceptAll(orig).count() == 0
+    # summaries consistent with their own blobs
+    chk = compacted.select(
+        "series_id", "n_points",
+        (F.col("t_max") >= F.col("t_min")).alias("ord_ok"),
+    ).toPandas()
+    assert chk["ord_ok"].all()
+    assert int(compacted.agg(F.sum("n_points")).collect()[0][0]) == len(rows)
