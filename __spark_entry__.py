@@ -1201,6 +1201,29 @@ def cpd_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cpd_knn_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate detection path (S2/D-multivariate): per-user 2-D
+    observations [value, inter-event gap seconds] through the whole-series
+    kNN statistic. threshold 3.0 → 18 detections at sf0.01 (nonzero gate)."""
+    from pyspark.sql import Window as W
+
+    from pysatl_cpd_spark.detectors.knn_stat import KnnCpd
+    from pysatl_cpd_spark.operators.cpd import detect_offline_multivariate
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tsd = F.col("ts").cast("timestamp").cast("double")
+    gap = F.coalesce(tsd - F.lag(tsd).over(w), F.lit(0.0))
+    series = ev.select(
+        F.col("user_id").cast("string").alias("series_id"),
+        (F.row_number().over(w) - F.lit(1)).alias("t"),
+        F.array(F.col("value").cast("double"), gap).alias("vec"),
+    )
+    return detect_offline_multivariate(
+        series, lambda: KnnCpd(threshold=3.0, indent_coeff=0.25, k=7)
+    )
+
+
 def cpd_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -2047,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpd_cusum_localized": cpd_cusum_localized,
         "cpd_classification": cpd_classification,
         "cpd_knn": cpd_knn,
+        "cpd_knn_multivariate": cpd_knn_multivariate,
         "cpd_graph": cpd_graph,
         "cpd_kliep": cpd_kliep,
         "cpd_rulsif": cpd_rulsif,
@@ -2134,6 +2158,11 @@ def _transcription_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, s
     }
     out["cpd_detect_counts"] = _values_cp_sql(
         expected_count_rows(sf_dir), col="n_change_points"
+    )
+    from pysatl_cpd_spark.oracle.transcriptions import knn_multivariate_rows
+
+    out["cpd_knn_multivariate"] = _values_cp_sql(
+        knn_multivariate_rows(sf_dir, k=7, thr=3.0, indent=0.25)
     )
     return out
 

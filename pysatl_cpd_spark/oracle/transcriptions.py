@@ -409,13 +409,14 @@ def scrubber_slices(n: int, window_length: int, shift: int) -> list[tuple[int, n
 
 
 def knn_window_cps(w: np.ndarray, k: int, thr: float, indent: float) -> list[int]:
-    """Chen-Zhang kNN-graph split statistic over one window; the crossing
-    counts and graph invariants are integers computed directly (exact in fp),
-    the distance matrix and neighbour selection mirror the engine's calls
-    (argpartition selection is part of the operator's tie semantics)."""
+    """Chen-Zhang kNN-graph split statistic over one window (1-D or vector
+    observations); the crossing counts and graph invariants are integers
+    computed directly (exact in fp), the distance matrix and neighbour
+    selection mirror the engine's calls (argpartition selection is part of
+    the operator's tie semantics)."""
     x = np.asarray(w, dtype=np.float64)
     n = x.shape[0]
-    if n == 0 or np.all(x == x[0]):
+    if n == 0 or np.all(x == x.flat[0]):
         return []
     first = int(n * indent)
     last = int(n * (1 - indent))
@@ -423,7 +424,7 @@ def knn_window_cps(w: np.ndarray, k: int, thr: float, indent: float) -> list[int
         stats = np.full(n, -float(k))
         return [i + first for i, v in enumerate(stats[first:last]) if v > thr]
 
-    xm = x.reshape(-1, 1)
+    xm = x.reshape(-1, 1) if x.ndim == 1 else x
     sq = (xm**2).sum(axis=1)
     d2 = sq[:, None] - 2.0 * xm @ xm.T + sq[None, :]
     d = np.sqrt(np.maximum(d2, 0.0))
@@ -592,6 +593,42 @@ def expected_cp_rows(query: str, sf_dir: str) -> list[tuple[str, int]]:
         else:
             raise ValueError(query)
         rows.extend((sid, int(c)) for c in cps if c < n)
+    return rows
+
+
+def events_multivariate_arrays(sf_dir: str) -> dict[str, np.ndarray]:
+    """Per-user (n, 2) observation matrices [value, inter-event gap seconds]
+    — the transcription of the cpd_knn_multivariate query's vec column
+    (gap = lag over (ts, event_id) order, first row 0.0, ts cast to double
+    as µs / 1e6 like Spark's timestamp→double)."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT CAST(user_id AS VARCHAR) AS series_id, epoch_us(ts) AS us, value
+        FROM read_parquet('{sf_dir}/events.parquet')
+        ORDER BY user_id, ts, event_id
+        """
+    ).fetchall()
+    grouped: dict[str, list[tuple[int, float]]] = {}
+    for sid, us, v in rows:
+        grouped.setdefault(sid, []).append((int(us), float(v)))
+    out = {}
+    for sid, pairs in grouped.items():
+        us = np.array([p[0] for p in pairs], dtype=np.int64)
+        vals = np.array([p[1] for p in pairs], dtype=np.float64)
+        tsd = us.astype(np.float64) / 1e6
+        gaps = np.concatenate([[0.0], tsd[1:] - tsd[:-1]])
+        out[sid] = np.column_stack([vals, gaps])
+    return out
+
+
+def knn_multivariate_rows(sf_dir: str, k: int, thr: float, indent: float) -> list[tuple[str, int]]:
+    """Expected rows for cpd_knn_multivariate: whole-series kNN statistic
+    over the 2-D observation matrix, per user."""
+    rows: list[tuple[str, int]] = []
+    for sid, mat in events_multivariate_arrays(sf_dir).items():
+        rows.extend((sid, int(c)) for c in knn_window_cps(mat, k, thr, indent))
     return rows
 
 
