@@ -302,3 +302,35 @@ def test_segment_gapfill_turns(spark):
     assert rows[("s", 1, 6)].value_locf == 10.0
     # observed rows pass through untouched
     assert rows[("s", 0, 4)].value_interp == 8.0 and rows[("s", 1, 5)].value_locf == 10.0
+
+
+def test_north_star_composition_end_to_end(spark):
+    """The full north-rule pipeline composes: synthesize transcripts →
+    turn-rate series → CUSUM change points → per-segment gap-fill →
+    Gorilla-encode the INTERPOLATED series → decode → the filled grid comes
+    back bit-exact (per-turn equality under stable ordering, preserved
+    through every stage)."""
+    from pyspark.sql import functions as F
+
+    from pysatl_cpd_spark.detectors import CusumDetector
+    from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.operators.gapfill import segment_gapfill_turns
+    from pysatl_cpd_spark.operators.segments import (
+        decode_segments,
+        encode_segments_adaptive,
+    )
+    from pysatl_cpd_spark.operators.series import turn_rate_series
+    from pysatl_cpd_spark.sources.transcripts import transcripts_table
+
+    tr = transcripts_table(spark, n_conversations=6, avg_turns=200, seed=9)
+    series = turn_rate_series(tr.filter(F.col("role") != "tool")).cache()
+    cps = detect_offline(series, lambda: CusumDetector(k=0.05, h=2.0)).cache()
+    filled = segment_gapfill_turns(series, cps).select(
+        "series_id", "t", F.col("value_interp").alias("value")
+    ).cache()
+    assert filled.count() > series.count()  # real holes were filled
+
+    encoded = encode_segments_adaptive(filled, cps)
+    decoded = decode_segments(encoded).select("series_id", "t", "value")
+    assert decoded.exceptAll(filled).count() == 0
+    assert filled.exceptAll(decoded).count() == 0
