@@ -1986,6 +1986,39 @@ FROM f
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from simhash pairs: min-label connected components
+    (the keep-one-per-component step after LSH)."""
+    from pysatl_cpd_spark.operators.dedup import (
+        dedup_connected_components,
+        simhash_near_dups,
+    )
+
+    pairs = simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=6)
+    return dedup_connected_components(pairs)
+
+
+def _dedup_clusters_sql(max_hamming: int = 6) -> str:
+    """Transitive-closure twin: same simhash pairs, reachability via a
+    recursive CTE, cluster id = least reachable doc id."""
+    return f"""
+WITH RECURSIVE sp AS (
+{_simhash_pairs_sql(max_hamming)}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM sp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM sp
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+FROM reach
+GROUP BY a
+"""
+
+
 def transcripts_tool_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tool-call-rate series (input_hint's second derived series): fraction
     of tool turns per 20-turn micro-bucket, per conversation."""
@@ -2078,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "ngram_contamination": ngram_contamination_q,
         "simhash_pairs": simhash_pairs,
+        "dedup_clusters": dedup_clusters,
         "lsh_cosine_topk": lsh_cosine_query,
         "ivf_cosine_topk": ivf_cosine_query,
         "embedding_near_dups": embedding_near_dup_pairs,
@@ -2199,6 +2233,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "ngram_contamination": CONTAMINATION_SQL,
         "simhash_pairs": _simhash_pairs_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "lsh_cosine_topk": _lsh_cosine_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "multimodal_features": MULTIMODAL_SQL,

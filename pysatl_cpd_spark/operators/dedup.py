@@ -396,3 +396,57 @@ def simhash_near_dups(
             "hamming",
         )
     )
+
+
+def dedup_connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS into CLUSTERS (the step after LSH in a
+    real dedup pipeline: keep one representative per component). Min-label
+    propagation to a fixpoint: each round is one equi-join + one min
+    aggregate, labels converge in O(component diameter) rounds — near-dup
+    components are template clusters with tiny diameters. The loop runs on
+    the driver but every round is a distributed join/agg; at petabyte pair
+    counts you swap propagation for the alternating small-star/large-star
+    algorithm (Kiveris et al., SoCC 2014) built from the same primitives.
+    Returns (doc_id, cluster_id = min doc id of the component)."""
+    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("a").distinct().withColumn("label", F.col("a")).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("a").alias("b"), F.col("label").alias("nlabel")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nlabel").alias("min_n"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "a", "left")
+            .select(
+                "a",
+                F.least(F.col("label"), F.coalesce("min_n", "label")).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("a", F.col("label").alias("old")), "a"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))

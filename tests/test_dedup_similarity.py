@@ -294,3 +294,19 @@ def test_quantized_cosine_matches_float_cosine():
         assert abs(quant - exact) < 1e-5, (exact, quant)
 
     law()
+
+
+def test_dedup_connected_components(spark):
+    """Min-label propagation finds components exactly: a 5-node chain (needs
+    several propagation rounds), a separate pair, and no cross-talk."""
+    from pysatl_cpd_spark.operators.dedup import dedup_connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (9, 8)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}
