@@ -176,6 +176,9 @@ class CheckpointedJob:
                 lambda s=spec: s.build(results),
                 inputs_fp=prior_fp,
                 params=spec.params,
+                bucket_key=spec.bucket_key,
+                n_buckets=spec.n_buckets,
+                sort_cols=spec.sort_cols,
             )
             declared = _published(spec.outputs)
             actual = set(res.df.columns)
@@ -205,6 +208,10 @@ class StageSpec:
     inputs: set | dict = field(default_factory=set)
     outputs: set | dict = field(default_factory=set)
     params: dict | None = None
+    # bucketed persistence (shuffle-free downstream groupBy, incl. on resume)
+    bucket_key: str | None = None
+    n_buckets: int = 8
+    sort_cols: tuple[str, ...] | None = None
 
 
 def _required(inputs: set | dict) -> set[str]:

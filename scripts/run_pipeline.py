@@ -41,9 +41,12 @@ def run(workdir: str) -> None:
     def gen_stage(_):
         return synthesize_transcripts(spark, n_conversations=200, avg_turns=300, seed=42)
 
+    def series_stage(res):
+        return turn_rate_series(res["generate"].df.drop("is_cp"))
+
     def detect_stage(res):
         return detect_online(
-            turn_rate_series(res["generate"].df.drop("is_cp")),
+            res["series"].df,
             lambda: BayesianLinearHeuristic(
                 lambda: BayesianOnlineDetector(
                     ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
@@ -58,9 +61,7 @@ def run(workdir: str) -> None:
         )
 
     def segments_stage(res):
-        return encode_segments_adaptive(
-            turn_rate_series(res["generate"].df.drop("is_cp")), res["detect"].df
-        )
+        return encode_segments_adaptive(res["series"].df, res["detect"].df)
 
     def rollup_stage(res):
         return rollup_tier(
@@ -82,15 +83,25 @@ def run(workdir: str) -> None:
             outputs={"conv_id", "turn_idx", "role", "text", "tool", "ts", "is_cp"},
         ),
         StageSpec(
+            # bucketed by series: the detect/segments groupBys downstream
+            # read this stage SHUFFLE-FREE, on first run and on resume
+            "series",
+            series_stage,
+            inputs={"conv_id", "turn_idx", "ts"},
+            outputs={"series_id", "t", "value"},
+            bucket_key="series_id",
+            n_buckets=8,
+        ),
+        StageSpec(
             "detect",
             detect_stage,
-            inputs={"conv_id", "turn_idx", "ts"},
+            inputs={"series_id", "t", "value"},
             outputs={"series_id", "change_point"},
         ),
         StageSpec(
             "segments",
             segments_stage,
-            inputs={"series_id", "change_point", "ts"},
+            inputs={"series_id", "change_point", "t", "value"},
             outputs={"series_id", "segment_id", "n_points"},
         ),
         StageSpec(
