@@ -1710,6 +1710,61 @@ GROUP BY event_type, date_trunc('day', ts)
 """
 
 
+def rollup_quantiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile tier through the FULL KLL hierarchy (1m sketches → 1h
+    merge → 1d merge): p50/p95 of value per (event_type, day). Exact below
+    the sketch threshold at oracle scale (≤ ~74 points per bucket at
+    sf0.01, k=200), so DuckDB's quantile_disc is the value oracle."""
+    from pysatl_cpd_spark.operators.rollup import rollup_quantile_hierarchy
+
+    ev = _t(spark, sf_dir, "events")
+    day = rollup_quantile_hierarchy(ev, ["event_type"])["1d"]
+    return day.select(
+        "event_type",
+        "bucket",
+        "n_points",
+        F.kll_sketch_get_quantile_double("q_sketch", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("q_sketch", F.lit(0.95)).alias("p95"),
+    )
+
+
+QUANTILES_DAILY_SQL = """
+SELECT event_type, date_trunc('day', ts) AS bucket,
+       count(*) AS n_points,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.95) AS p95
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
+def theta_user_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from THETA SKETCHES: distinct users doing both
+    'click' and 'view' (and either) per day."""
+    from pysatl_cpd_spark.operators.rollup import theta_user_overlap
+
+    return theta_user_overlap(_t(spark, sf_dir, "events"), "click", "view")
+
+
+THETA_OVERLAP_SQL = """
+WITH a AS (
+  SELECT date_trunc('day', ts) AS bucket, user_id FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT date_trunc('day', ts) AS bucket, user_id FROM events WHERE event_type = 'view'
+), days AS (
+  SELECT DISTINCT a.bucket FROM a JOIN b USING (bucket)
+)
+SELECT d.bucket,
+       CAST((SELECT count(DISTINCT x.user_id) FROM a x JOIN b y
+             ON x.bucket = y.bucket AND x.user_id = y.user_id
+             WHERE x.bucket = d.bucket) AS BIGINT) AS n_both,
+       CAST((SELECT count(DISTINCT user_id) FROM (
+              SELECT user_id FROM a WHERE bucket = d.bucket
+              UNION SELECT user_id FROM b WHERE bucket = d.bucket)) AS BIGINT) AS n_either
+FROM days d
+"""
+
+
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-pretokenizer token counts per document — the LLM
     token-budget estimate as a pure JVM regexp (no Python)."""
@@ -2119,6 +2174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": bpe_token_counts,
         "winnow_fingerprints": winnow_fingerprints_q,
         "rollup_distinct_daily": rollup_distinct_daily,
+        "rollup_quantiles_daily": rollup_quantiles_daily,
+        "theta_user_overlap": theta_user_overlap_daily,
         "multimodal_features": multimodal_features,
         "transcripts_cpd_rollup": transcripts_cpd_rollup,
         "transcripts_segment_gapfill": transcripts_segment_gapfill,
@@ -2241,6 +2298,8 @@ def _oracle_sql_static() -> dict[str, str]:
         "bpe_token_counts": _bpe_token_sql(),
         "winnow_fingerprints": WINNOW_SQL,
         "rollup_distinct_daily": DISTINCT_DAILY_SQL,
+        "rollup_quantiles_daily": QUANTILES_DAILY_SQL,
+        "theta_user_overlap": THETA_OVERLAP_SQL,
         "cpd_cusum_localized": _cusum_localized_sql(),
         "cpd_confusion": CONFUSION_SQL,
         "scrubber_windows": SCRUBBER_SQL,
