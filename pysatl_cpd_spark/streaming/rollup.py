@@ -39,6 +39,35 @@ def streaming_rollup(
     )
 
 
+def streaming_rollup_quantiles(
+    stream_df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+    k: int = 200,
+) -> DataFrame:
+    """Streaming twin of rollup_quantile_hierarchy's base tier: a mergeable
+    KLL value sketch per watermarked tumbling window, so streamed percentile
+    tiers land in the lake and coarser tiers merge them exactly like the
+    batch hierarchy."""
+    duration = _TIER_DURATION[tier]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, F.window(ts_col, duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(k)).alias(
+                "q_sketch"
+            ),
+        )
+        .select(
+            *key_cols, F.col("w.start").alias("bucket"), "n_points", "q_sketch"
+        )
+    )
+
+
 def streaming_rollup_distinct(
     stream_df: DataFrame,
     tier: str,

@@ -179,3 +179,72 @@ def test_streaming_distinct_tier_matches_batch_and_merges(spark, tmp_path):
         # withheld by the watermark
         (full["est"] <= full["batch_est"]).all()
     )
+
+
+def test_streaming_quantile_tier_matches_batch(spark, tmp_path):
+    """Streamed KLL sketches answer the same quantiles as the batch tier,
+    and merge into the batch hourly percentile exactly (exact regime)."""
+    from pysatl_cpd_spark.streaming.rollup import streaming_rollup_quantiles
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "key": ["a"] * 120 + ["b"] * 60,
+            "ts": pd.date_range("2024-01-01", periods=180, freq="37s"),
+            "value": np.round(rng.normal(size=180) * 10, 2),
+        }
+    )
+    path = str(tmp_path / "in")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(path)
+
+    stream = spark.readStream.schema("key string, ts timestamp, value double").parquet(path)
+    out = streaming_rollup_quantiles(stream, "1m", ["key"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM q_out")
+
+    # streamed minute sketches -> merged hourly p50 == exact hourly median
+    hourly = (
+        got.groupBy("key", F.date_trunc("hour", "bucket").alias("bucket"))
+        .agg(F.kll_merge_agg_double("q_sketch", F.lit(200)).alias("s"))
+        .select(
+            "key", "bucket",
+            F.kll_sketch_get_quantile_double("s", F.lit(0.5)).alias("p50"),
+        )
+    )
+    # the exact population is ONLY the emitted (watermark-passed) minutes —
+    # append mode withholds the trailing buckets by design
+    emitted = got.select("key", F.col("bucket").alias("minute"))
+    raw = (
+        spark.read.parquet(path)
+        .withColumn("minute", F.date_trunc("minute", "ts"))
+        .join(emitted, ["key", "minute"])
+        .cache()
+    )
+    m = hourly.join(
+        raw.groupBy("key", F.date_trunc("hour", "minute").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        ["key", "bucket"],
+    ).toPandas()
+    assert len(m) > 0
+    # KLL p50 is an actual element (disc) at the exact median rank
+    import bisect
+
+    for _, r in m.iterrows():
+        vals = sorted(
+            x.value
+            for x in raw.filter(
+                (F.col("key") == r.key) & (F.date_trunc("hour", "minute") == r.bucket)
+            ).collect()
+        )
+        assert r.p50 in vals
+        i = bisect.bisect_left(vals, r.p50)
+        assert abs(i - len(vals) / 2) <= 1.5  # at (or adjacent to) the median rank
