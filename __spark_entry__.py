@@ -1137,18 +1137,19 @@ FROM chain c JOIN alarms a USING (series_id, p)
 """
 
 
-def _flagship_sql(k: float = 0.05, h: float = 2.0, learning: int = 50) -> str:
-    """Full SQL twin of transcripts_cpd_rollup: the deterministic input
-    series is inlined as VALUES (oracle/flagship.py — numpy replication of
-    transcripts_table + turn_rate_series, validated row-identical against
-    the Spark path), then CUSUM localization (shared _cusum_chain_sql),
-    segment assignment (count of CPs at-or-before t), and per-segment
-    summaries — everything the flagship returns except the dropped blob."""
+def _flagship_common_ctes(
+    k: float, h: float, learning: int, drop_tool: bool = False
+) -> str:
+    """Shared CTE prefix of the transcript oracles: the VALUES series
+    (oracle/flagship.py — numpy replication of transcripts_table +
+    turn_rate_series, validated row-identical against the Spark path),
+    CUSUM localization (shared _cusum_chain_sql), CP remap to turn indices,
+    and per-row segment assignment (count of CPs at-or-before t)."""
     from pysatl_cpd_spark.oracle.flagship import flagship_series_values
 
     return f"""
 WITH RECURSIVE raw(series_id, pos, t, value) AS (VALUES
-{flagship_series_values()}
+{flagship_series_values(drop_tool=drop_tool)}
 ), series AS (
   SELECT series_id, pos, value FROM raw
 ), {_cusum_chain_sql(k, h, learning)}, cps AS (
@@ -1162,7 +1163,13 @@ WITH RECURSIVE raw(series_id, pos, t, value) AS (VALUES
            OVER (PARTITION BY r.series_id ORDER BY r.t
                  ROWS UNBOUNDED PRECEDING) AS seg
   FROM raw r LEFT JOIN cps c ON c.series_id = r.series_id AND c.t = r.t
-)
+)"""
+
+
+def _flagship_sql(k: float = 0.05, h: float = 2.0, learning: int = 50) -> str:
+    """Full SQL twin of transcripts_cpd_rollup: per-segment summaries —
+    everything the flagship returns except the dropped blob."""
+    return f"""{_flagship_common_ctes(k, h, learning)}
 SELECT series_id,
        CAST(seg AS BIGINT) AS segment_id,
        CAST(count(*) AS BIGINT) AS n_points,
@@ -1985,25 +1992,7 @@ def _segment_gapfill_sql(k: float = 0.05, h: float = 2.0, learning: int = 50) ->
     CUSUM chain + segment assignment, then the dense per-segment turn grid
     with LOCF / bracketing-interpolation windows (IGNORE NULLS), expression
     order mirroring operators/gapfill.segment_gapfill_turns."""
-    from pysatl_cpd_spark.oracle.flagship import flagship_series_values
-
-    return f"""
-WITH RECURSIVE raw(series_id, pos, t, value) AS (VALUES
-{flagship_series_values(drop_tool=True)}
-), series AS (
-  SELECT series_id, pos, value FROM raw
-), {_cusum_chain_sql(k, h, learning)}, cps AS (
-  SELECT DISTINCT c.series_id, r.t
-  FROM chain c
-  JOIN alarms a USING (series_id, p)
-  JOIN raw r ON r.series_id = c.series_id AND r.pos = a.cp
-), assigned AS (
-  SELECT r.series_id, r.t, r.value,
-         sum(CASE WHEN c.t IS NOT NULL THEN 1 ELSE 0 END)
-           OVER (PARTITION BY r.series_id ORDER BY r.t
-                 ROWS UNBOUNDED PRECEDING) AS seg
-  FROM raw r LEFT JOIN cps c ON c.series_id = r.series_id AND c.t = r.t
-), extent AS (
+    return f"""{_flagship_common_ctes(k, h, learning, drop_tool=True)}, extent AS (
   SELECT series_id, seg, min(t) AS lo, max(t) AS hi
   FROM assigned GROUP BY series_id, seg
 ), grid AS (

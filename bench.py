@@ -153,9 +153,10 @@ def main() -> None:
     # amortization point: the identical pipeline at 4x the input. The
     # default flagship (600k pts) is dominated by fixed per-job overhead;
     # the north-star metric is a throughput, so its trend WITH scale is the
-    # number that predicts cluster behavior (budget-guarded).
+    # number that predicts cluster behavior. Guard accounts for the scale
+    # run's OWN estimated cost (~4x flagship) against a 2x-budget wall cap.
     extra: dict[str, float] = {}
-    if time.perf_counter() - total0 < rerun_budget + 2 * flagship_sec:
+    if time.perf_counter() - total0 + 4 * flagship_sec < 2 * rerun_budget:
         scale_sec, scale_points = run_flagship(spark, n_convs * 4, avg_turns)
         extra = {
             "rollup_points_at_scale": scale_points,

@@ -420,6 +420,7 @@ def dedup_connected_components(
         .cache()
     )
     labels = edges.select("a").distinct().withColumn("label", F.col("a")).cache()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -429,12 +430,19 @@ def dedup_connected_components(
             .groupBy("a")
             .agg(F.min("nlabel").alias("min_n"))
         )
+        propagated = labels.join(neighbor_min, "a", "left").select(
+            "a",
+            F.least(F.col("label"), F.coalesce("min_n", "label")).alias("label"),
+        )
+        # pointer jumping (shortcutting): follow label -> label-of-label, so
+        # long chains converge in O(log diameter) rounds, not O(diameter);
+        # labels only decrease, so label2 <= label where defined
+        hop = propagated.select(
+            F.col("a").alias("label"), F.col("label").alias("label2")
+        )
         new_labels = (
-            labels.join(neighbor_min, "a", "left")
-            .select(
-                "a",
-                F.least(F.col("label"), F.coalesce("min_n", "label")).alias("label"),
-            )
+            propagated.join(hop, "label", "left")
+            .select("a", F.coalesce("label2", "label").alias("label"))
             .cache()
         )
         changed = (
@@ -447,6 +455,12 @@ def dedup_connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge within {max_iter} rounds "
+            f"(component diameter > 2^{max_iter}); raise max_iter"
+        )
     return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -208,6 +208,7 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     quantize_scale: int | None = None,
     round_digits: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: train coarse centroids on a bounded,
     deterministic driver-side sample (ordered by id — no partition-order
@@ -279,11 +280,13 @@ def ivf_cosine_topk(
         )
     if round_digits is not None:
         cosine = F.round(cosine, round_digits)
-    # the probe side is tiny (queries × n_probe) but its size estimate is
-    # lost behind the centroid cross-join + explode, so Spark would fall
-    # back to a sort-merge join — force the broadcast the cardinality wants
+    # the probe side is usually tiny (queries × n_probe) but its size
+    # estimate is lost behind the centroid cross-join + explode, so Spark
+    # would fall back to a sort-merge join; the hint assumes a small query
+    # set — pass broadcast_queries=False for corpus-sized query sets (e.g.
+    # all-pairs ANN), where the size-based fallback is the right plan
     scored = (
-        c.join(F.broadcast(q), "list_id")
+        c.join(F.broadcast(q) if broadcast_queries else q, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine)
         .select("query_id", "neighbor_id", "cosine")

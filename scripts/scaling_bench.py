@@ -105,11 +105,19 @@ CEILING = """
 import json, multiprocessing as mp, os, sys, time
 
 # the probe must run under the SAME allocator regime as the engine's Python
-# workers (session.py exports these to executors): without the glibc
-# threshold fix the probe measures mmap-lock contention on page faults, not
-# CPU scaling — that artifact is what made earlier ceilings swing 0.33-0.71
-os.environ["MALLOC_MMAP_THRESHOLD_"] = str(1 << 30)
-os.environ["MALLOC_TRIM_THRESHOLD_"] = str(1 << 30)
+# workers: without the glibc threshold fix the probe measures mmap-lock
+# contention on page faults, not CPU scaling. The env vars are NOT enough
+# here — glibc reads them only at process startup and mp.Pool workers FORK
+# from this already-initialized interpreter — so set the thresholds with
+# mallopt (ctypes), whose effect the forked children inherit; session.py
+# uses the same call for the driver process.
+import ctypes
+try:
+    libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+    libc.mallopt(ctypes.c_int(-1), ctypes.c_int(1 << 30))  # M_TRIM_THRESHOLD
+except Exception:
+    pass
 
 def work(_):
     import numpy as np

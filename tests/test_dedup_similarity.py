@@ -310,3 +310,14 @@ def test_dedup_connected_components(spark):
         for r in dedup_connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}
+
+    # a 30-node chain needs pointer jumping (plain propagation would take 29
+    # rounds and previously returned a silently split component at 20)
+    chain = spark.createDataFrame(
+        [(100 + i, 100 + i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_connected_components(chain, max_iter=8).collect()
+    }
+    assert set(got.values()) == {100} and len(got) == 31
