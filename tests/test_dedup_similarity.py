@@ -318,6 +318,6 @@ def test_dedup_connected_components(spark):
     )
     got = {
         r.doc_id: r.cluster_id
-        for r in dedup_connected_components(chain, max_iter=8).collect()
+        for r in dedup_connected_components(chain, rounds=6).collect()
     }
     assert set(got.values()) == {100} and len(got) == 31
