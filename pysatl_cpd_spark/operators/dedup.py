@@ -398,27 +398,45 @@ def simhash_near_dups(
     )
 
 
+def _lineage_checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage between iterative rounds. Uses a RELIABLE checkpoint
+    when the SparkContext has a checkpoint dir configured
+    (``sc.setCheckpointDir(...)``) — survives executor loss, the right mode
+    on a real cluster — and falls back to ``localCheckpoint`` (executor-
+    local blocks, one job, no HDFS round-trip) otherwise, which is the fast
+    mode for local[] runs where executor loss means the app is gone anyway.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def dedup_connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     rounds: int = 8,
+    max_rounds: int = 16,
 ) -> DataFrame:
     """Collapse near-duplicate PAIRS into CLUSTERS (the step after LSH in a
     real dedup pipeline: keep one representative per component). Min-label
     propagation with pointer-jumping shortcuts: every round is (neighbour
     min-join) + (label-of-label hop), so covered diameter doubles per round
     — ``rounds`` = 8 reaches components of diameter ~2^8. Each round ends
-    in ``localCheckpoint`` (lineage truncation): the round's two self-
-    references would otherwise DOUBLE the logical plan every round
+    in a lineage checkpoint (reliable when a checkpoint dir is configured,
+    else localCheckpoint — see ``_lineage_checkpoint``): the round's two
+    self-references would otherwise DOUBLE the logical plan every round
     (exponential analysis cost), and a checkpoint is one job versus the two
     (cache + convergence count) the naive loop pays — per-round driver
-    actions were the cost driver. One verification pass afterwards raises
-    if the label map is not a fixpoint instead of silently returning split
-    components. On a production cluster prefer a reliable checkpoint dir
-    (localCheckpoint lives on executors); for even larger graphs swap in
-    alternating small-star/large-star (Kiveris et al., SoCC 2014) — same
-    primitives. Returns (doc_id, cluster_id = min id of the component)."""
+    actions were the cost driver. After the blind rounds a fixpoint check
+    runs; if the labels have not converged the loop AUTO-ESCALATES with
+    per-round convergence checks up to ``max_rounds`` (diameter ~2^16)
+    before raising, so pathological deep components cost extra counts
+    rather than a hard failure. For graphs beyond that, use
+    ``dedup_components_star`` (alternating small-star/large-star, Kiveris
+    et al., SoCC 2014). Returns (doc_id, cluster_id = min id of the
+    component)."""
     fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
         fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -448,18 +466,112 @@ def dedup_connected_components(
 
     labels = edges.select("a").distinct().withColumn("label", F.col("a"))
     for _ in range(rounds):
-        labels = step(labels).localCheckpoint(eager=True)
-    not_fixed = (
-        step(labels)
-        .join(labels.select("a", F.col("label").alias("old")), "a")
-        .filter(F.col("label") != F.col("old"))
-        .count()
-    )
-    edges.unpersist()
-    if not_fixed:
-        raise RuntimeError(
-            f"connected components not converged after {rounds} "
-            f"propagate+shortcut rounds (component diameter ~> 2^{rounds}); "
-            "raise `rounds`"
+        labels = _lineage_checkpoint(step(labels))
+    done = rounds
+    while True:
+        nxt = _lineage_checkpoint(step(labels))
+        not_fixed = (
+            nxt.join(labels.select("a", F.col("label").alias("old")), "a")
+            .filter(F.col("label") != F.col("old"))
+            .count()
         )
+        if not not_fixed:
+            break
+        done += 1
+        labels = nxt
+        if done >= max_rounds:
+            edges.unpersist()
+            raise RuntimeError(
+                f"connected components not converged after {done} "
+                f"propagate+shortcut rounds (component diameter ~> 2^{done}); "
+                "raise `max_rounds` or use dedup_components_star"
+            )
+    edges.unpersist()
     return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_components_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the structurally-convergent alternative to min-label
+    propagation for graphs whose diameter defeats a fixed pointer-jumping
+    budget. Each operation is one groupBy + one equi-join (per-node
+    neighbourhood min), edge count never grows beyond the input, and the
+    edge set provably converges to a star forest (every node pointing at
+    its component minimum) in O(log^2 n) alternations; no all-pairs work,
+    no driver materialization. Convergence is detected by set equality of
+    consecutive canonical edge sets (count + one-sided anti-join — both
+    sides are distinct). Same contract as ``dedup_connected_components``:
+    returns (doc_id, cluster_id = min id of the component).
+
+    large-star(u): connect every neighbour v > u to min(N(u) + {u})
+    small-star(u): over edges directed high->low, connect every smaller
+                   neighbour (and u itself) to min(N(u) + {u})
+    """
+    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).filter(F.col("a") != F.col("b"))
+    nodes = sym.select("a").distinct().cache()
+
+    def large_star(sym_edges: DataFrame) -> DataFrame:
+        """Input symmetric edges; output directed (v -> m) edges, v > m."""
+        mins = sym_edges.groupBy("a").agg(F.min("b").alias("minb"))
+        m = F.least(F.col("a"), F.col("minb"))
+        return (
+            sym_edges.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(directed: DataFrame) -> DataFrame:
+        """Input directed edges (a > b); output directed edges (a > b)."""
+        mins = directed.groupBy("a").agg(F.min("b").alias("minb"))
+        to_min = directed.join(mins, "a").select(
+            F.col("b").alias("a"), F.col("minb").alias("b")
+        )
+        self_edge = mins.select("a", F.col("minb").alias("b"))
+        return (
+            to_min.unionByName(self_edge)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    # seed: one large-star pass canonicalizes the symmetric set to directed
+    cur = _lineage_checkpoint(small_star(large_star(sym)))
+    for _ in range(max_rounds):
+        nxt = _lineage_checkpoint(small_star(large_star(_symmetrize(cur))))
+        # set equality: both distinct, so equal counts + empty one-sided
+        # anti-join <=> identical sets
+        if nxt.count() == cur.count() and nxt.join(
+            cur, ["a", "b"], "left_anti"
+        ).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        nodes.unpersist()
+        raise RuntimeError(
+            f"small-star/large-star did not converge in {max_rounds} rounds"
+        )
+    # at the fixpoint `cur` is a star forest: (node -> component min).
+    # Roots appear only on the right; map them to themselves.
+    labels = nodes.join(cur, "a", "left").select(
+        F.col("a").alias("doc_id"),
+        F.coalesce("b", "a").alias("cluster_id"),
+    )
+    nodes.unpersist()
+    return labels
+
+
+def _symmetrize(directed: DataFrame) -> DataFrame:
+    return directed.unionByName(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )

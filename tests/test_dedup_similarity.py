@@ -321,3 +321,111 @@ def test_dedup_connected_components(spark):
         for r in dedup_connected_components(chain, rounds=6).collect()
     }
     assert set(got.values()) == {100} and len(got) == 31
+
+
+def test_components_auto_escalation(spark):
+    """A chain deeper than the blind-round diameter budget converges via the
+    auto-escalation loop instead of raising; an exhausted max_rounds still
+    raises."""
+    import pytest
+
+    from pysatl_cpd_spark.operators.dedup import dedup_connected_components
+
+    # diameter 40 > 2^3: rounds=3 blind rounds cannot finish, escalation to
+    # max_rounds=8 (diameter 2^8) must
+    chain = spark.createDataFrame(
+        [(200 + i, 200 + i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_connected_components(chain, rounds=3, max_rounds=8).collect()
+    }
+    assert set(got.values()) == {200} and len(got) == 41
+
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup_connected_components(chain, rounds=2, max_rounds=3).collect()
+
+
+def test_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured the loop uses RELIABLE checkpoints
+    (files appear under the dir) and the fixpoint is unchanged."""
+    from pysatl_cpd_spark.operators.dedup import dedup_connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (9, 8)], "doc_a long, doc_b long"
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt_dir = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt_dir)
+    try:
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup_connected_components(pairs, rounds=3).collect()
+        }
+    finally:
+        # conftest session fixture is shared: restore localCheckpoint mode
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}
+    assert sc.getCheckpointDir() is None
+    import os
+
+    found = [
+        f
+        for root, _dirs, files in os.walk(ckpt_dir)
+        for f in files
+    ]
+    assert found, "reliable checkpoint wrote no files"
+
+
+def test_components_star_matches_propagation(spark):
+    """Property: small-star/large-star produces the SAME clusters as
+    min-label propagation on random graphs, and converges on a deep path
+    whose diameter would exhaust propagation's pointer-jump budget."""
+    import random
+
+    from pysatl_cpd_spark.operators.dedup import (
+        dedup_components_star,
+        dedup_connected_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        prop = {
+            r.doc_id: r.cluster_id
+            for r in dedup_connected_components(pairs).collect()
+        }
+        star = {
+            r.doc_id: r.cluster_id
+            for r in dedup_components_star(pairs).collect()
+        }
+        assert star == prop, f"trial {trial}: star != propagation"
+
+    # deep path: diameter 600 > 2^8; propagation at default blind budget
+    # would need escalation, star converges structurally in O(log n) rounds
+    chain = spark.createDataFrame(
+        [(1000 + i, 1000 + i + 1) for i in range(600)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup_components_star(chain).collect()
+    }
+    assert set(got.values()) == {1000} and len(got) == 601
+
+
+def test_components_star_string_ids(spark):
+    """Star variant on string doc ids (the real dedup key type)."""
+    from pysatl_cpd_spark.operators.dedup import dedup_components_star
+
+    pairs = spark.createDataFrame(
+        [("d2", "d1"), ("d2", "d3"), ("d9", "d8")], "doc_a string, doc_b string"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_components_star(pairs).collect()}
+    assert got == {"d1": "d1", "d2": "d1", "d3": "d1", "d8": "d8", "d9": "d8"}
