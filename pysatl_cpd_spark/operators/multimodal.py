@@ -3,11 +3,12 @@
 Images/audio/video travel as ``binary`` columns with a metadata struct; all
 heavy per-item work (decode, resize, feature-extract, frame-sample) runs as
 Arrow-batched ``mapInPandas`` so payload bytes never inflate on the JVM side
-beyond the Arrow batch. The decode kernels themselves are STUBS in this
-container (no image/audio libs baked in): ``decode_image`` raises
-NotImplementedError unless Pillow is importable, while ``fake_decode``
-deterministically derives pseudo-pixels from the payload hash so the full
-Spark plumbing (schema, batching, partitioning, UDF signatures) is testable.
+beyond the Arrow batch. Image decode (``real_decode=True``) prefers Pillow
+and falls back to the repo's pure-python PNG codec (operators/png.py), so
+the real branch executes even in this container; audio/video decode and
+non-PNG image formats remain env-gated NotImplementedError. ``fake_decode``
+deterministically derives pseudo-pixels from the payload hash and stays the
+default (and the SQL-oracle) path.
 """
 
 from __future__ import annotations
@@ -27,13 +28,21 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "item_id long, kind string, n_bytes long, sha string, feature array<float>"
 
 
-def synthesize_media(spark, n_items: int = 64, seed: int = 42) -> DataFrame:
+def synthesize_media(
+    spark, n_items: int = 64, seed: int = 42, real_png: bool = False
+) -> DataFrame:
     """Deterministic fake media table with a *portable* payload construction:
     payload = ASCII bytes of a chained md5 hex string (block j =
     md5(f"{seed}:{i}:{j}")) truncated to n_bytes = 64 +
     (int(md5(f"{seed}:{i}:len")[:8], 16) % 1984). Pure md5/substr arithmetic a
     SQL oracle reproduces bit-for-bit, while the bytes still exercise the real
-    binary-column plumbing (Arrow batches, mapInPandas)."""
+    binary-column plumbing (Arrow batches, mapInPandas).
+
+    With ``real_png=True``, image items instead carry a REAL compressed PNG
+    (deterministic gradient pixels seeded from md5) so the real-decode branch
+    can run end-to-end in-sandbox; audio/video payloads are unchanged. The
+    default (and the multimodal_features oracle) stays the md5-text payload.
+    """
 
     def _h(tag: str) -> str:
         return hashlib.md5(tag.encode()).hexdigest()
@@ -45,6 +54,22 @@ def synthesize_media(spark, n_items: int = 64, seed: int = 42) -> DataFrame:
         n_bytes = 64 + int(_h(f"{seed}:{i}:len")[:8], 16) % 1984
         body = "".join(_h(f"{seed}:{i}:{j}") for j in range((n_bytes + 31) // 32))
         payload = body[:n_bytes].encode("ascii")
+        if real_png and kind == "image":
+            from pysatl_cpd_spark.operators.png import encode_png
+
+            w0 = 4 + int(_h(f"{seed}:{i}:pw")[:2], 16) % 28
+            h0 = 4 + int(_h(f"{seed}:{i}:ph")[:2], 16) % 28
+            base = int(_h(f"{seed}:{i}:px")[:2], 16)
+            yy, xx = np.mgrid[0:h0, 0:w0]
+            pix = np.stack(
+                [
+                    (xx * 7 + base) % 256,
+                    (yy * 11 + base) % 256,
+                    (xx + yy + base) % 256,
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            payload = encode_png(pix)
         rows.append(
             (
                 i,
@@ -61,16 +86,48 @@ def synthesize_media(spark, n_items: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _try_real_decode(payload: bytes):  # pragma: no cover - env-gated
-    try:
+def _try_real_decode(payload: bytes) -> np.ndarray:
+    """Decode an image payload to a uint8 pixel array (h, w, ch). Prefers
+    Pillow (the production decoder: every format, SIMD); falls back to the
+    repo's pure-python PNG codec (operators/png.py) so the real-decode
+    branch is executable in this container, where Pillow is absent. Raises
+    NotImplementedError for formats neither path can handle."""
+    try:  # pragma: no cover - Pillow not in this container
         import io
 
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        pass
+    from pysatl_cpd_spark.operators.png import decode_png
+
+    try:
+        return decode_png(payload)
+    except ValueError as exc:
         raise NotImplementedError(
-            "real image decode requires Pillow, not available in this container"
+            f"real decode: payload is not a PNG this codec handles and "
+            f"Pillow is unavailable ({exc})"
         ) from exc
-    return Image.open(io.BytesIO(payload))
+
+
+def pixels_to_feature(pixels: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Deterministic feature from DECODED pixels: per-channel mean/std in
+    [0, 1] followed by evenly-spaced luma samples, padded/truncated to
+    ``dim`` float32s. Same pixels -> same feature on any executor."""
+    px = pixels.astype(np.float32) / 255.0
+    if px.ndim == 2:
+        px = px[:, :, None]
+    chans = [px[:, :, c] for c in range(px.shape[2])]
+    head = []
+    for c in chans:
+        head.extend([float(c.mean()), float(c.std())])
+    luma = px.mean(axis=2).ravel()
+    idx = np.linspace(0, luma.size - 1, max(dim - len(head), 0)).astype(np.int64)
+    vec = np.asarray(head + list(luma[idx]), dtype=np.float32)[:dim]
+    if vec.size < dim:
+        vec = np.pad(vec, (0, dim - vec.size))
+    return vec
 
 
 def fake_decode(payload: bytes, dim: int = 16) -> np.ndarray:
@@ -92,10 +149,11 @@ def extract_features(media: DataFrame, dim: int = 16, real_decode: bool = False)
             feats, shas = [], []
             for payload in pdf["payload"]:
                 data = bytes(payload)
-                if real_decode:
-                    _try_real_decode(data)
                 shas.append(hashlib.sha256(data).hexdigest())
-                feats.append(fake_decode(data, dim))
+                if real_decode:
+                    feats.append(pixels_to_feature(_try_real_decode(data), dim))
+                else:
+                    feats.append(fake_decode(data, dim))
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
