@@ -17,7 +17,7 @@ SHOW = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "events_rollup_1m",
+    "events_rollup_tiers",
     "events_gapfill",
     "cusum_scores",
     "shingle_jaccard",
