@@ -49,6 +49,23 @@ class BayesianOnlineDetector:
         self._rl_probs: FloatArray = np.empty(0)
         self._fired = False
         self._cp: Optional[int] = None
+        # ping-pong posterior buffers + one scratch: the recursion writes
+        # each step's posterior into the idle buffer (values identical to
+        # the allocate-per-step form; the hot loop was allocation-bound)
+        self._rl_a: FloatArray = np.empty(0)
+        self._rl_b: FloatArray = np.empty(0)
+        self._tmp: FloatArray = np.empty(0)
+
+    def _ensure(self, n: int) -> None:
+        if self._rl_a.shape[0] >= n:
+            return
+        cap = max(128, 2 * self._rl_a.shape[0], n)
+        for name in ("_rl_a", "_rl_b", "_tmp"):
+            buf = np.empty(cap)
+            r = self._rl_probs.shape[0]
+            if name == "_rl_a" and r:
+                buf[:r] = self._rl_probs
+            setattr(self, name, buf)
 
     # -- public per-observation API (reference OnlineAlgorithm contract) ----
 
@@ -83,11 +100,15 @@ class BayesianOnlineDetector:
             self._detector.clear()
             self._likelihood.learn(np.asarray(self._training))
             self._is_training = False
-            self._rl_probs = np.array([1.0])
+            self._ensure(1)
+            self._rl_a[0] = 1.0
+            self._rl_probs = self._rl_a[:1]
 
     def _recursion_step(self, observation: float) -> None:
         pred = self._likelihood.predict(observation)
         r = self._rl_probs.shape[0]
+        self._ensure(r + 1)
+        rl, tmp, probs = self._rl_probs, self._tmp[:r], self._rl_b
         # constant hazard: scalar broadcast multiplies are bit-identical to
         # the full(h) vector the reference builds, minus two allocations/step
         if isinstance(self._hazard, ConstantHazard):
@@ -96,19 +117,24 @@ class BayesianOnlineDetector:
         else:
             hazard = self._hazard.hazard(np.arange(r, dtype=np.intp))
             one_minus = 1.0 - hazard
-        # fp-operation order matches the reference recursion exactly
-        cp_mass = float(np.sum(self._rl_probs * hazard * pred))
-        probs = np.empty(r + 1)
-        np.multiply(self._rl_probs * one_minus, pred, out=probs[1:])
+        # fp-operation order matches the reference recursion exactly:
+        # cp_mass = sum((rl*h)*pred); probs[1:] = (rl*(1-h))*pred
+        np.multiply(rl, hazard, out=tmp)
+        np.multiply(tmp, pred, out=tmp)
+        cp_mass = float(tmp.sum())
+        np.multiply(rl, one_minus, out=tmp)
+        np.multiply(tmp, pred, out=probs[1 : r + 1])
         probs[0] = cp_mass
-        evidence = float(probs.sum())
+        evidence = float(probs[: r + 1].sum())
         if evidence == 0.0:
             # total posterior collapse ⇒ forced change point, restart posterior
             self._fired = True
-            self._rl_probs = np.zeros(self._rl_probs.shape[0])
-            self._rl_probs[0] = 1.0
+            rl.fill(0.0)
+            rl[0] = 1.0
             return
-        self._rl_probs = probs / evidence
+        np.divide(probs[: r + 1], evidence, out=probs[: r + 1])
+        self._rl_a, self._rl_b = self._rl_b, self._rl_a
+        self._rl_probs = self._rl_a[: r + 1]
         self._likelihood.update(observation)
 
     def _process(self, observation: float, localize: bool) -> None:
