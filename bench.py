@@ -50,15 +50,8 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
     """CPD-adaptive rollup over synthesized transcripts; returns (sec, points)."""
     from pyspark.sql import functions as F
 
-    from pysatl_cpd_spark.detectors import (
-        ArgmaxLocalizer,
-        BayesianLinearHeuristic,
-        BayesianOnlineDetector,
-        ConstantHazard,
-        HeuristicGaussianVsExponential,
-        ThresholdDetector,
-    )
-    from pysatl_cpd_spark.operators.cpd import detect_online
+    from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
+    from pysatl_cpd_spark.operators.cpd import detect_online_lockstep
     from pysatl_cpd_spark.operators.rollup import rollup_all_tiers
     from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
     from pysatl_cpd_spark.operators.series import turn_rate_series
@@ -91,15 +84,17 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
     # the series feeds two consumers (detector branch + encode branch) —
     # cache it so the window computes once
     series = turn_rate_series(tr).cache()
-    inner = lambda: BayesianOnlineDetector(  # noqa: E731
-        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
-        HeuristicGaussianVsExponential(),
-        20,
-        ThresholdDetector(0.04),
-        ArgmaxLocalizer(),
+    # cross-series lockstep kernel: bit-identical to the sequential
+    # BayesianLinearHeuristic(BayesianOnlineDetector(...)) stack (differential
+    # tests in tests/test_lockstep.py), ~3.6x per core via 2D batching
+    factory = lambda: LockstepLinearBOCPD(  # noqa: E731
+        rate=1.0 / (1.0 - 0.5 ** (1.0 / 500)),
+        learning_sample_size=20,
+        threshold=0.04,
+        start_after=500,
+        prep=250,
     )
-    factory = lambda: BayesianLinearHeuristic(inner, 500, 250)  # noqa: E731
-    cps = detect_online(series, factory)
+    cps = detect_online_lockstep(series, factory)
     encoded = encode_segments_adaptive(series, cps)
     encoded.count()
 

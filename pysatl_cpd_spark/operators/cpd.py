@@ -87,6 +87,61 @@ def detect_online(
     return _prepared(series_df).groupBy("series_id").applyInPandas(run, CP_SCHEMA)
 
 
+def detect_online_lockstep(
+    series_df: DataFrame,
+    lockstep_factory: "Callable[[], object]",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Online detection with the cross-series LOCKSTEP kernel
+    (detectors/lockstep.py): series are salted into ``n_buckets`` hash
+    buckets, each bucket's ~hundred COMPLETE series process together inside
+    one grouped-map UDF, and every numpy call covers the whole batch — the
+    per-observation dispatch overhead that dominates the sequential kernel
+    amortizes ~batch-fold (measured 3.6x per core at 190 series/bucket).
+    Output and semantics identical to ``detect_online`` with the equivalent
+    sequential factory (bit-identical; enforced by tests/test_lockstep.py
+    and the operator-level differential test).
+
+    ``lockstep_factory`` -> an object with
+    ``process_many(list[np.ndarray]) -> list[list[int]]`` (LockstepLinearBOCPD).
+    ``n_buckets`` defaults to 2x the session's default parallelism — enough
+    tasks to fill the cluster while keeping batches big enough to amortize.
+    Monster series should go through ``chunk_series`` first, as with
+    ``detect_online``."""
+    spark = series_df.sparkSession
+    if n_buckets is None:
+        n_buckets = 2 * spark.sparkContext.defaultParallelism
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["series_id", "t"])
+        ids: list[str] = []
+        values: list[np.ndarray] = []
+        indexes: list[np.ndarray] = []
+        for sid, grp in pdf.groupby("series_id", sort=False):
+            ids.append(sid)
+            values.append(grp["value"].to_numpy(dtype=np.float64))
+            indexes.append(grp["t"].to_numpy())
+        all_cps = lockstep_factory().process_many(values)
+        out_ids: list[str] = []
+        out_cps: list[int] = []
+        for sid, index, cps in zip(ids, indexes, all_cps):
+            for c in cps:
+                if c < len(index):
+                    out_ids.append(sid)
+                    out_cps.append(int(index[c]))
+        return pd.DataFrame(
+            {
+                "series_id": pd.Series(out_ids, dtype=str),
+                "change_point": pd.Series(out_cps, dtype="int64"),
+            }
+        )
+
+    bucketed = _prepared(series_df).withColumn(
+        "bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
+
+
 def detect_online_instrumented(
     series_df: DataFrame,
     algorithm_factory: Callable[[], SeriesAlgorithm],

@@ -1,0 +1,199 @@
+"""Differential parity: lockstep (cross-series vectorized) BOCPD must emit
+BIT-IDENTICAL change points to the sequential
+BayesianLinearHeuristic(BayesianOnlineDetector(...)) stack on every series."""
+
+import numpy as np
+import pytest
+
+from pysatl_cpd_spark.detectors import (
+    ArgmaxLocalizer,
+    BayesianLinearHeuristic,
+    BayesianOnlineDetector,
+    ConstantHazard,
+    HeuristicGaussianVsExponential,
+    ThresholdDetector,
+)
+from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
+
+RATE = 1.0 / (1.0 - 0.5 ** (1.0 / 500))
+LSS = 20
+THR = 0.04
+START_AFTER = 500
+PREP = 250
+
+
+def _sequential_cps(values: np.ndarray) -> list[int]:
+    inner = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(RATE),
+        HeuristicGaussianVsExponential(),
+        LSS,
+        ThresholdDetector(THR),
+        ArgmaxLocalizer(),
+    )
+    det = BayesianLinearHeuristic(inner, START_AFTER, PREP)
+    return det.process_series(np.asarray(values, dtype=np.float64))
+
+
+def _lockstep(series: list[np.ndarray]) -> list[list[int]]:
+    return LockstepLinearBOCPD(RATE, LSS, THR, START_AFTER, PREP).process_many(
+        series
+    )
+
+
+def _gap_series(rng, n_segments, seg_len_lo=40, seg_len_hi=150) -> np.ndarray:
+    """Flagship-shaped series: exponential inter-turn gaps, scale switching
+    per segment (what turn_rate_series feeds the detector)."""
+    parts = []
+    for _ in range(n_segments):
+        scale = rng.uniform(0.5, 30.0)
+        parts.append(
+            rng.exponential(scale, rng.integers(seg_len_lo, seg_len_hi))
+        )
+    return np.concatenate(parts)
+
+
+def _gauss_series(rng, n_segments) -> np.ndarray:
+    """Level-shifting gaussian series (selects the GaussianConjugate model)."""
+    parts = []
+    for _ in range(n_segments):
+        mu = rng.uniform(-5, 5)
+        parts.append(rng.normal(mu, 1.0, rng.integers(50, 160)))
+    return np.concatenate(parts)
+
+
+def test_lockstep_matches_sequential_exponential_batch():
+    rng = np.random.default_rng(1)
+    series = [_gap_series(rng, rng.integers(1, 7)) for _ in range(60)]
+    got = _lockstep(series)
+    for i, s in enumerate(series):
+        assert got[i] == _sequential_cps(s), f"series {i}"
+
+
+def test_lockstep_matches_sequential_gaussian_batch():
+    rng = np.random.default_rng(2)
+    series = [_gauss_series(rng, rng.integers(1, 6)) for _ in range(40)]
+    got = _lockstep(series)
+    for i, s in enumerate(series):
+        assert got[i] == _sequential_cps(s), f"series {i}"
+
+
+def test_lockstep_mixed_models_and_lengths():
+    rng = np.random.default_rng(3)
+    series: list[np.ndarray] = []
+    for i in range(50):
+        kind = i % 4
+        if kind == 0:
+            series.append(_gap_series(rng, rng.integers(1, 5)))
+        elif kind == 1:
+            series.append(_gauss_series(rng, rng.integers(1, 5)))
+        elif kind == 2:  # too short to finish training
+            series.append(rng.normal(size=rng.integers(1, LSS)))
+        else:  # mixed-model switches across detections
+            series.append(
+                np.concatenate(
+                    [
+                        rng.exponential(5.0, 80),
+                        rng.normal(50.0, 0.5, 80),
+                        rng.exponential(0.3, 80),
+                    ]
+                )
+            )
+    got = _lockstep(series)
+    for i, s in enumerate(series):
+        assert got[i] == _sequential_cps(s), f"series {i} (kind {i % 4})"
+
+
+def test_lockstep_extreme_values_and_collapses():
+    """Zeros, constants, huge jumps, negatives — the collapse / NaN paths."""
+    rng = np.random.default_rng(4)
+    series = [
+        np.zeros(100),
+        np.ones(150),
+        np.concatenate([np.full(60, 1e-12), np.full(60, 1e12)]),
+        np.concatenate([rng.exponential(1.0, 60), np.zeros(60)]),
+        np.concatenate([rng.normal(0, 1, 60), rng.normal(0, 1, 60) - 100.0]),
+        np.concatenate([np.full(30, 5.0), rng.exponential(1e-6, 200)]),
+        rng.normal(0.0, 1e-9, 120),
+    ]
+    got = _lockstep(series)
+    for i, s in enumerate(series):
+        assert got[i] == _sequential_cps(s), f"series {i}"
+
+
+def test_lockstep_rotation_lanes_evacuate():
+    """Change-free stretches >= start_after trigger the heuristic's duplicate
+    rotation, which lockstep does not vectorize — those lanes must fall back
+    to the sequential twin and still match exactly."""
+    rng = np.random.default_rng(5)
+    series = [
+        rng.exponential(2.0, 1300),  # wt passes 500 and 750 if undetected
+        _gap_series(rng, 3),
+        np.concatenate([rng.exponential(2.0, 700), rng.exponential(40.0, 300)]),
+        rng.normal(3.0, 1.0, 900),
+    ]
+    got = _lockstep(series)
+    for i, s in enumerate(series):
+        assert got[i] == _sequential_cps(s), f"series {i}"
+
+
+def test_lockstep_empty_and_single():
+    assert _lockstep([]) == []
+    assert _lockstep([np.array([1.0, 2.0])]) == [[]]
+    rng = np.random.default_rng(6)
+    s = _gap_series(rng, 3)
+    assert _lockstep([s]) == [_sequential_cps(s)]
+
+
+@pytest.mark.parametrize("seed", [7, 8, 9])
+def test_lockstep_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    series = []
+    for _ in range(30):
+        n_seg = int(rng.integers(1, 6))
+        if rng.random() < 0.5:
+            series.append(_gap_series(rng, n_seg, 25, 120))
+        else:
+            series.append(_gauss_series(rng, n_seg))
+    got = _lockstep(series)
+    for i, s in enumerate(series):
+        assert got[i] == _sequential_cps(s), f"seed {seed} series {i}"
+
+
+def test_detect_online_lockstep_operator_parity(spark):
+    """Operator-level differential on real synthesized transcripts: the
+    salt-bucketed lockstep operator returns exactly the same
+    (series_id, change_point) rows as sequential detect_online."""
+    from pysatl_cpd_spark.operators.cpd import (
+        detect_online,
+        detect_online_lockstep,
+    )
+    from pysatl_cpd_spark.operators.series import turn_rate_series
+    from pysatl_cpd_spark.sources.transcripts import transcripts_table
+
+    tr = transcripts_table(
+        spark, n_conversations=60, avg_turns=250, seed=11, with_text=False
+    )
+    series = turn_rate_series(tr).cache()
+
+    inner = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(RATE),
+        HeuristicGaussianVsExponential(),
+        LSS,
+        ThresholdDetector(THR),
+        ArgmaxLocalizer(),
+    )
+    seq_fac = lambda: BayesianLinearHeuristic(inner, START_AFTER, PREP)  # noqa: E731
+    lock_fac = lambda: LockstepLinearBOCPD(  # noqa: E731
+        RATE, LSS, THR, START_AFTER, PREP
+    )
+
+    seq = {
+        (r.series_id, r.change_point)
+        for r in detect_online(series, seq_fac).collect()
+    }
+    lock = {
+        (r.series_id, r.change_point)
+        for r in detect_online_lockstep(series, lock_fac, n_buckets=4).collect()
+    }
+    series.unpersist()
+    assert seq == lock and len(seq) > 10
