@@ -50,12 +50,10 @@ import json, sys, time
 sys.path.insert(0, "/root/repo")
 from pysatl_cpd_spark.session import get_spark
 from pyspark.sql import functions as F
-from pysatl_cpd_spark.operators.cpd import detect_online
+from pysatl_cpd_spark.operators.cpd import detect_online_lockstep
 from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
 from pysatl_cpd_spark.operators.rollup import rollup_all_tiers
-from pysatl_cpd_spark.detectors import (ArgmaxLocalizer, BayesianLinearHeuristic,
-    BayesianOnlineDetector, ConstantHazard, HeuristicGaussianVsExponential,
-    ThresholdDetector)
+from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
 
 cores = int(sys.argv[1])
 # SAME shuffle-partition count at every parallelism level: both runs execute
@@ -66,9 +64,11 @@ cores = int(sys.argv[1])
 spark = get_spark(cores=cores, app_name=f"scaling_{{cores}}", shuffle_partitions=128)
 series = spark.read.parquet({SERIES_PATH!r})
 raw = spark.read.parquet({RAW_PATH!r})
-inner = lambda: BayesianOnlineDetector(ConstantHazard(1.0/(1.0-0.5**(1.0/500))),
-    HeuristicGaussianVsExponential(), 20, ThresholdDetector(0.04), ArgmaxLocalizer())
-factory = lambda: BayesianLinearHeuristic(inner, 500, 250)
+# the engine's production detect path (lockstep kernel); n_buckets pinned so
+# both parallelism levels execute the IDENTICAL 128-task set, like the
+# shuffle-partition pin below
+factory = lambda: LockstepLinearBOCPD(rate=1.0/(1.0-0.5**(1.0/500)),
+    learning_sample_size=20, threshold=0.04, start_after=500, prep=250)
 
 # two full passes; the SECOND is the measurement. Pass 1 warms every Python
 # worker on every partition (a limit() warm-up collapses to one partition and
@@ -81,7 +81,7 @@ def run_once():
     series_c = series.cache(); n_points = series_c.count()
     stages["scan_cache"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    cps = detect_online(series_c, factory).cache(); cps.count()
+    cps = detect_online_lockstep(series_c, factory, n_buckets=128).cache(); cps.count()
     stages["detect"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     encode_segments_adaptive(series_c, cps).count()
