@@ -132,19 +132,24 @@ def shingle_jaccard_pairs(
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct word n-gram shingles, via slide over the
-    token array (transform + filter — JVM-side)."""
+    token array (transform + filter — JVM-side).
+
+    The token array is MATERIALIZED in its own projection before the slide:
+    referencing the split(...) expression inline inside the transform lambda
+    makes Catalyst re-evaluate the whole regexp+split chain once per shingle
+    index (no common-subexpression elimination through generator lambdas) —
+    measured 10x slower (4.7 s vs 0.45 s for 260k shingles at sf0.1)."""
     squeezed = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    toks = F.split(squeezed, " ")
+    tokd = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(squeezed, " ").alias("toks")
+    )
     # guard: a doc shorter than n words has NO shingles (sequence(0, -1)
     # would otherwise count down and feed slice() an invalid start)
     idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
     ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    sh = F.transform(idx, lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
+    return tokd.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def ngram_contamination(
