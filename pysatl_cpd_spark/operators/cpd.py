@@ -41,50 +41,87 @@ def _prepared(series_df: DataFrame) -> DataFrame:
     return series_df.select("series_id", "t", "value")
 
 
+def _bucketed(series_df: DataFrame, n_buckets: int | None) -> tuple[DataFrame, int]:
+    """Salt series into hash buckets so ONE grouped-map UDF call carries many
+    complete series: per-group Arrow round-trip + scheduling overhead was the
+    dominant cost for small-series workloads (1,500 event series at sf0.1 =
+    0.09 s of kernel work inside 4.3 s of per-group dispatch). Bucket count
+    defaults to 2x parallelism — full occupancy, ~parallelism-fold fewer UDF
+    calls."""
+    spark = series_df.sparkSession
+    if n_buckets is None:
+        n_buckets = 2 * spark.sparkContext.defaultParallelism
+    return (
+        _prepared(series_df).withColumn(
+            "bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets))
+        ),
+        n_buckets,
+    )
+
+
 def detect_offline(
     series_df: DataFrame,
     algorithm_factory: Callable[[], WindowAlgorithm],
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Run a windowed (offline) detector over each whole series.
 
     series_df: (series_id, t, value). Returns (series_id, change_point) where
-    change_point is the global ``t`` of the detected index.
-    """
+    change_point is the global ``t`` of the detected index. Series are
+    processed many-per-UDF-call (see ``_bucketed``); a fresh detector per
+    series keeps state isolation identical to one-group-per-series."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        values = pdf["value"].to_numpy(dtype=np.float64)
-        index = pdf["t"].to_numpy()
-        cps = algorithm_factory().localize(values)
+        pdf = pdf.sort_values(["series_id", "t"])
+        out_ids: list[str] = []
+        out_cps: list[int] = []
+        for sid, grp in pdf.groupby("series_id", sort=False):
+            values = grp["value"].to_numpy(dtype=np.float64)
+            index = grp["t"].to_numpy()
+            for c in algorithm_factory().localize(values):
+                out_ids.append(sid)
+                out_cps.append(int(index[c]))
         return pd.DataFrame(
-            {"series_id": pdf["series_id"].iloc[0], "change_point": index[cps]}
-            if cps
-            else {"series_id": pd.Series([], dtype=str), "change_point": pd.Series([], dtype="int64")}
+            {
+                "series_id": pd.Series(out_ids, dtype=str),
+                "change_point": pd.Series(out_cps, dtype="int64"),
+            }
         )
 
-    return _prepared(series_df).groupBy("series_id").applyInPandas(run, CP_SCHEMA)
+    bucketed, _ = _bucketed(series_df, n_buckets)
+    return bucketed.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
 
 
 def detect_online(
     series_df: DataFrame,
     algorithm_factory: Callable[[], SeriesAlgorithm],
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Run a per-observation (online) detector across each ordered series.
-    The detector's absolute positions are remapped through the global index."""
+    The detector's absolute positions are remapped through the global index.
+    Series are processed many-per-UDF-call (see ``_bucketed``); a fresh
+    detector per series keeps state isolation identical."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        values = pdf["value"].to_numpy(dtype=np.float64)
-        index = pdf["t"].to_numpy()
-        cps = algorithm_factory().process_series(values)
-        cps = [c for c in cps if c < len(index)]
+        pdf = pdf.sort_values(["series_id", "t"])
+        out_ids: list[str] = []
+        out_cps: list[int] = []
+        for sid, grp in pdf.groupby("series_id", sort=False):
+            values = grp["value"].to_numpy(dtype=np.float64)
+            index = grp["t"].to_numpy()
+            for c in algorithm_factory().process_series(values):
+                if c < len(index):
+                    out_ids.append(sid)
+                    out_cps.append(int(index[c]))
         return pd.DataFrame(
-            {"series_id": pdf["series_id"].iloc[0], "change_point": index[cps]}
-            if cps
-            else {"series_id": pd.Series([], dtype=str), "change_point": pd.Series([], dtype="int64")}
+            {
+                "series_id": pd.Series(out_ids, dtype=str),
+                "change_point": pd.Series(out_cps, dtype="int64"),
+            }
         )
 
-    return _prepared(series_df).groupBy("series_id").applyInPandas(run, CP_SCHEMA)
+    bucketed, _ = _bucketed(series_df, n_buckets)
+    return bucketed.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
 
 
 def detect_online_lockstep(
@@ -183,46 +220,65 @@ def detect_online_instrumented(
 def detect_counts(
     series_df: DataFrame,
     algorithm_factory: Callable[[], SeriesAlgorithm],
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Detection-count mode (reference CpdCore.detect / OnlineCpdSolver.run
     detect path): per-series count of change points."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        values = pdf["value"].to_numpy(dtype=np.float64)
-        cps = algorithm_factory().process_series(values)
+        pdf = pdf.sort_values(["series_id", "t"])
+        ids: list[str] = []
+        counts: list[int] = []
+        for sid, grp in pdf.groupby("series_id", sort=False):
+            values = grp["value"].to_numpy(dtype=np.float64)
+            ids.append(sid)
+            counts.append(len(algorithm_factory().process_series(values)))
         return pd.DataFrame(
-            {"series_id": [pdf["series_id"].iloc[0]], "n_change_points": [len(cps)]}
+            {
+                "series_id": pd.Series(ids, dtype=str),
+                "n_change_points": pd.Series(counts, dtype="int64"),
+            }
         )
 
-    return (
-        _prepared(series_df)
-        .groupBy("series_id")
-        .applyInPandas(run, "series_id string, n_change_points long")
+    bucketed, _ = _bucketed(series_df, n_buckets)
+    return bucketed.groupBy("bucket").applyInPandas(
+        run, "series_id string, n_change_points long"
     )
 
 
 def detect_offline_multivariate(
     series_df: DataFrame,
     algorithm_factory: Callable[[], WindowAlgorithm],
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Multivariate variant: series_df is (series_id, t, vec array<double>).
     The group matrix (n, dim) feeds detectors that accept vector observations
     (classification / kNN / graph families)."""
+    spark = series_df.sparkSession
+    if n_buckets is None:
+        n_buckets = 2 * spark.sparkContext.defaultParallelism
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        values = np.stack(pdf["vec"].to_numpy())
-        index = pdf["t"].to_numpy()
-        cps = algorithm_factory().localize(values)
+        pdf = pdf.sort_values(["series_id", "t"])
+        out_ids: list[str] = []
+        out_cps: list[int] = []
+        for sid, grp in pdf.groupby("series_id", sort=False):
+            values = np.stack(grp["vec"].to_numpy())
+            index = grp["t"].to_numpy()
+            for c in algorithm_factory().localize(values):
+                out_ids.append(sid)
+                out_cps.append(int(index[c]))
         return pd.DataFrame(
-            {"series_id": pdf["series_id"].iloc[0], "change_point": index[cps]}
-            if cps
-            else {"series_id": pd.Series([], dtype=str), "change_point": pd.Series([], dtype="int64")}
+            {
+                "series_id": pd.Series(out_ids, dtype=str),
+                "change_point": pd.Series(out_cps, dtype="int64"),
+            }
         )
 
-    pruned = series_df.select("series_id", "t", "vec")
-    return pruned.groupBy("series_id").applyInPandas(run, CP_SCHEMA)
+    pruned = series_df.select("series_id", "t", "vec").withColumn(
+        "bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets))
+    )
+    return pruned.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
 
 
 # -- scrubber: overlapping sliding windows as a relational transform ---------
@@ -265,21 +321,37 @@ def detect_windowed(
     """Offline detector over scrubber windows (the reference CpdCore.localize
     composition): window-local detections are remapped via the carried global
     index and concatenated; overlapping windows re-detect the same point, so
-    ``dedupe`` keeps one row per (series_id, change_point)."""
+    ``dedupe`` keeps one row per (series_id, change_point). Windows are
+    salt-bucketed many-per-UDF-call (the scrubber emits FAR more window
+    groups than series — per-group dispatch dominated)."""
     windows = assign_windows(series_df, window_length, shift_factor)
+    spark = series_df.sparkSession
+    n_buckets = 2 * spark.sparkContext.defaultParallelism
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pos")
-        values = pdf["value"].to_numpy(dtype=np.float64)
-        index = pdf["t"].to_numpy()
-        cps = algorithm_factory().localize(values)
+        pdf = pdf.sort_values(["series_id", "window_id", "pos"])
+        out_ids: list[str] = []
+        out_cps: list[int] = []
+        for (sid, _wid), grp in pdf.groupby(
+            ["series_id", "window_id"], sort=False
+        ):
+            values = grp["value"].to_numpy(dtype=np.float64)
+            index = grp["t"].to_numpy()
+            for c in algorithm_factory().localize(values):
+                out_ids.append(sid)
+                out_cps.append(int(index[c]))
         return pd.DataFrame(
-            {"series_id": pdf["series_id"].iloc[0], "change_point": index[cps]}
-            if cps
-            else {"series_id": pd.Series([], dtype=str), "change_point": pd.Series([], dtype="int64")}
+            {
+                "series_id": pd.Series(out_ids, dtype=str),
+                "change_point": pd.Series(out_cps, dtype="int64"),
+            }
         )
 
-    out = windows.groupBy("series_id", "window_id").applyInPandas(run, CP_SCHEMA)
+    bucketed = windows.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("series_id", "window_id"), F.lit(n_buckets)),
+    )
+    out = bucketed.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
     return out.distinct() if dedupe else out
 
 
