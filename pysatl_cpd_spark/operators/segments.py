@@ -38,32 +38,55 @@ def assign_segments(series_df: DataFrame, cps_df: DataFrame) -> DataFrame:
     ).drop("_cp")
 
 
-def encode_segments(segmented: DataFrame) -> DataFrame:
+def encode_segments(segmented: DataFrame, bundles: int = 256) -> DataFrame:
     """(series_id, t, value, segment_id) → one Gorilla blob + summary per
-    segment. ``t`` doubles as the int64 timestamp stream."""
+    segment. ``t`` doubles as the int64 timestamp stream. Segments are
+    BUNDLED ``bundles`` ways (hash of the segment key) so one Arrow batch
+    carries many segments — per-group dispatch dominated the codec at
+    per-segment grouping (same rationale as encode_segments_adaptive)."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        ts = pdf["t"].to_numpy(dtype=np.int64)
-        values = pdf["value"].to_numpy(dtype=np.float64)
-        blob = encode_segment(ts, values)
-        return pd.DataFrame(
-            {
-                "series_id": [pdf["series_id"].iloc[0]],
-                "segment_id": [int(pdf["segment_id"].iloc[0])],
-                "n_points": [len(ts)],
-                "t_min": [int(ts[0])],
-                "t_max": [int(ts[-1])],
-                "min_value": [float(np.min(values))],
-                "max_value": [float(np.max(values))],
-                "first_value": [float(values[0])],
-                "last_value": [float(values[-1])],
-                "blob": [blob],
-            }
+        pdf = pdf.sort_values(["series_id", "segment_id", "t"])
+        rows = []
+        for (sid, seg), grp in pdf.groupby(["series_id", "segment_id"], sort=False):
+            ts = grp["t"].to_numpy(dtype=np.int64)
+            values = grp["value"].to_numpy(dtype=np.float64)
+            rows.append(
+                (
+                    sid,
+                    int(seg),
+                    len(ts),
+                    int(ts[0]),
+                    int(ts[-1]),
+                    float(np.min(values)),
+                    float(np.max(values)),
+                    float(values[0]),
+                    float(values[-1]),
+                    encode_segment(ts, values),
+                )
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "series_id", "segment_id", "n_points", "t_min", "t_max",
+                "min_value", "max_value", "first_value", "last_value", "blob",
+            ],
         )
+        if not rows:  # typed empty frame for Arrow
+            for c, dt in (
+                ("segment_id", "int64"), ("n_points", "int64"),
+                ("t_min", "int64"), ("t_max", "int64"),
+                ("min_value", "float64"), ("max_value", "float64"),
+                ("first_value", "float64"), ("last_value", "float64"),
+            ):
+                out[c] = out[c].astype(dt)
+        return out
 
-    pruned = segmented.select("series_id", "segment_id", "t", "value")
-    return pruned.groupBy("series_id", "segment_id").applyInPandas(run, SEGMENT_SCHEMA)
+    pruned = segmented.select("series_id", "segment_id", "t", "value").withColumn(
+        "bundle",
+        F.pmod(F.xxhash64("series_id", "segment_id"), F.lit(bundles)),
+    )
+    return pruned.groupBy("bundle").applyInPandas(run, SEGMENT_SCHEMA)
 
 
 def encode_segments_adaptive(
