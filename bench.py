@@ -152,7 +152,12 @@ def main() -> None:
     first_sec, points = run_flagship(spark, n_convs, avg_turns)
     samples = [first_sec]
     for _ in range(reps - 1):
-        if time.perf_counter() - total0 > rerun_budget + min(samples):
+        # the second sample is unconditional: a noise-phase single shot is
+        # exactly the case min-of-N exists for, and the flagship drives the
+        # headline metric; further reps respect the budget
+        if len(samples) >= 2 and (
+            time.perf_counter() - total0 > rerun_budget + min(samples)
+        ):
             break
         samples.append(run_flagship(spark, n_convs, avg_turns)[0])
     flagship_sec = min(samples)
