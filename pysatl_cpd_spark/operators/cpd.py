@@ -47,14 +47,22 @@ def _bucketed(series_df: DataFrame, n_buckets: int | None) -> tuple[DataFrame, i
     dominant cost for small-series workloads (1,500 event series at sf0.1 =
     0.09 s of kernel work inside 4.3 s of per-group dispatch). Bucket count
     defaults to 2x parallelism — full occupancy, ~parallelism-fold fewer UDF
-    calls."""
+    calls.
+
+    The EXPLICIT repartition is load-bearing: detector input is small in
+    bytes but heavy in Python CPU, so AQE's byte-based partition coalescing
+    would merge the post-shuffle partitions down to ~1 and serialize the
+    whole UDF stage (measured: 3.2 s wall for 2.7 core-seconds of kernel).
+    A user-specified repartition is exempt from AQE coalescing, and the
+    grouped-map below reuses its hash partitioning (no second shuffle) —
+    the same fix encode_segments_adaptive applies to the encode stage."""
     spark = series_df.sparkSession
     if n_buckets is None:
         n_buckets = 2 * spark.sparkContext.defaultParallelism
     return (
-        _prepared(series_df).withColumn(
-            "bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets))
-        ),
+        _prepared(series_df)
+        .withColumn("bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket"),
         n_buckets,
     )
 
@@ -173,8 +181,10 @@ def detect_online_lockstep(
             }
         )
 
-    bucketed = _prepared(series_df).withColumn(
-        "bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets))
+    bucketed = (
+        _prepared(series_df)
+        .withColumn("bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket")  # AQE-coalesce-proof (see _bucketed)
     )
     return bucketed.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
 
@@ -275,8 +285,10 @@ def detect_offline_multivariate(
             }
         )
 
-    pruned = series_df.select("series_id", "t", "vec").withColumn(
-        "bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets))
+    pruned = (
+        series_df.select("series_id", "t", "vec")
+        .withColumn("bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket")  # AQE-coalesce-proof (see _bucketed)
     )
     return pruned.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
 
@@ -350,7 +362,7 @@ def detect_windowed(
     bucketed = windows.withColumn(
         "bucket",
         F.pmod(F.xxhash64("series_id", "window_id"), F.lit(n_buckets)),
-    )
+    ).repartition(n_buckets, "bucket")  # AQE-coalesce-proof (see _bucketed)
     out = bucketed.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
     return out.distinct() if dedupe else out
 

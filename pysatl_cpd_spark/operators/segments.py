@@ -38,12 +38,16 @@ def assign_segments(series_df: DataFrame, cps_df: DataFrame) -> DataFrame:
     ).drop("_cp")
 
 
-def encode_segments(segmented: DataFrame, bundles: int = 256) -> DataFrame:
+def encode_segments(segmented: DataFrame, bundles: int | None = None) -> DataFrame:
     """(series_id, t, value, segment_id) → one Gorilla blob + summary per
     segment. ``t`` doubles as the int64 timestamp stream. Segments are
     BUNDLED ``bundles`` ways (hash of the segment key) so one Arrow batch
     carries many segments — per-group dispatch dominated the codec at
-    per-segment grouping (same rationale as encode_segments_adaptive)."""
+    per-segment grouping (same rationale as encode_segments_adaptive).
+    Default bundle count = 2x parallelism: full occupancy without slicing
+    small jobs into hundreds of near-empty tasks."""
+    if bundles is None:
+        bundles = 2 * segmented.sparkSession.sparkContext.defaultParallelism
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["series_id", "segment_id", "t"])
@@ -82,9 +86,15 @@ def encode_segments(segmented: DataFrame, bundles: int = 256) -> DataFrame:
                 out[c] = out[c].astype(dt)
         return out
 
-    pruned = segmented.select("series_id", "segment_id", "t", "value").withColumn(
-        "bundle",
-        F.pmod(F.xxhash64("series_id", "segment_id"), F.lit(bundles)),
+    pruned = (
+        segmented.select("series_id", "segment_id", "t", "value")
+        .withColumn(
+            "bundle",
+            F.pmod(F.xxhash64("series_id", "segment_id"), F.lit(bundles)),
+        )
+        # explicit repartition: exempt from AQE byte-coalescing, which would
+        # serialize this Python-CPU-bound stage (see cpd._bucketed)
+        .repartition(bundles, "bundle")
     )
     return pruned.groupBy("bundle").applyInPandas(run, SEGMENT_SCHEMA)
 
