@@ -166,15 +166,31 @@ def main() -> None:
     # default flagship (600k pts) is ~half fixed per-job overhead, so the
     # at-scale points/sec is the HEADLINE rollup metric — it is the number
     # that predicts cluster behavior (r03: 81k at 2.4M pts vs 29.6k at
-    # 600k). Runs BEFORE any extra noise reps so it always fits the budget.
-    # Guard accounts for the scale run's OWN estimated cost (~4x flagship)
-    # against a 2x-budget wall cap.
+    # 600k). Runs BEFORE any extra flagship noise reps so it always fits
+    # the budget, and gets min-of-N itself (up to 2 reps + 1 more on >20%
+    # disagreement): a single-shot headline is hostage to the VM's noise
+    # phases. Guards account for each rep's estimated cost against a
+    # 2x-budget wall cap.
     extra: dict[str, float] = {}
-    if time.perf_counter() - total0 + 4 * flagship_sec < 2 * rerun_budget:
-        scale_sec, scale_points = run_flagship(spark, n_convs * 4, avg_turns)
+    scale_samples: list[float] = []
+    scale_points = 0
+    while len(scale_samples) < 3:
+        projected = min(scale_samples) if scale_samples else 4 * flagship_sec
+        if time.perf_counter() - total0 + projected > 2 * rerun_budget:
+            break
+        if len(scale_samples) == 2 and not (
+            max(scale_samples) > 1.2 * min(scale_samples)
+        ):
+            break
+        sec, scale_points = run_flagship(spark, n_convs * 4, avg_turns)
+        scale_samples.append(sec)
+    if scale_samples:
         extra = {
             "rollup_points_at_scale": scale_points,
-            "rollup_points_per_sec_at_scale": round(scale_points / scale_sec, 1),
+            "rollup_points_per_sec_at_scale": round(
+                scale_points / min(scale_samples), 1
+            ),
+            "scale_reps": len(scale_samples),
         }
 
     # noise-robustness: this VM's ±40% phases mean two flagship reps can
