@@ -55,10 +55,18 @@ def _bucketed(series_df: DataFrame, n_buckets: int | None) -> tuple[DataFrame, i
     whole UDF stage (measured: 3.2 s wall for 2.7 core-seconds of kernel).
     A user-specified repartition is exempt from AQE coalescing, and the
     grouped-map below reuses its hash partitioning (no second shuffle) —
-    the same fix encode_segments_adaptive applies to the encode stage."""
+    the same fix encode_segments_adaptive applies to the encode stage.
+
+    ``n_buckets=0`` opts OUT of salting: the caller asserts the input is
+    already co-located by series_id (a bucketed table whose ingest shuffle
+    was paid once) and detection groups by series_id directly — ZERO
+    exchanges (plan-asserted in tests/test_io.py). Salting such input would
+    re-shuffle what storage bucketing already placed."""
     spark = series_df.sparkSession
     if n_buckets is None:
         n_buckets = 2 * spark.sparkContext.defaultParallelism
+    if n_buckets == 0:
+        return _prepared(series_df), 0
     return (
         _prepared(series_df)
         .withColumn("bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)))
@@ -96,8 +104,9 @@ def detect_offline(
             }
         )
 
-    bucketed, _ = _bucketed(series_df, n_buckets)
-    return bucketed.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
+    bucketed, nb = _bucketed(series_df, n_buckets)
+    key = "series_id" if nb == 0 else "bucket"
+    return bucketed.groupBy(key).applyInPandas(run, CP_SCHEMA)
 
 
 def detect_online(
@@ -128,8 +137,9 @@ def detect_online(
             }
         )
 
-    bucketed, _ = _bucketed(series_df, n_buckets)
-    return bucketed.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
+    bucketed, nb = _bucketed(series_df, n_buckets)
+    key = "series_id" if nb == 0 else "bucket"
+    return bucketed.groupBy(key).applyInPandas(run, CP_SCHEMA)
 
 
 def detect_online_lockstep(
@@ -250,8 +260,9 @@ def detect_counts(
             }
         )
 
-    bucketed, _ = _bucketed(series_df, n_buckets)
-    return bucketed.groupBy("bucket").applyInPandas(
+    bucketed, nb = _bucketed(series_df, n_buckets)
+    key = "series_id" if nb == 0 else "bucket"
+    return bucketed.groupBy(key).applyInPandas(
         run, "series_id string, n_change_points long"
     )
 

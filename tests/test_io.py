@@ -76,7 +76,9 @@ def test_catalog_parquet_roundtrip_and_iceberg_gate(spark, tmp_path):
 def test_bucketed_series_detection_is_shuffle_free(spark, tmp_path):
     """Co-location law: detection over a series table bucketed by its group
     key runs with ZERO exchanges (the ingest shuffle is paid once), and the
-    results equal the unbucketed path."""
+    results equal the unbucketed path. ``n_buckets=0`` is the explicit
+    opt-out of UDF salt-bucketing: the caller asserts storage co-location,
+    so detection groups by series_id directly instead of re-shuffling."""
     from pysatl_cpd_spark.detectors import CusumDetector
     from pysatl_cpd_spark.operators.cpd import detect_offline
     from pysatl_cpd_spark.operators.series import events_series
@@ -90,7 +92,7 @@ def test_bucketed_series_detection_is_shuffle_free(spark, tmp_path):
     )
 
     factory = lambda: CusumDetector(k=1.0, h=10.0)  # noqa: E731
-    out_b = detect_offline(bucketed, factory)
+    out_b = detect_offline(bucketed, factory, n_buckets=0)
     plan = out_b._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 0, plan[:500]
 
