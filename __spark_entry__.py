@@ -1059,24 +1059,34 @@ def cpd_bocpd_online(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cpd_linear_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
-    from pysatl_cpd_spark.operators.cpd import detect_online_lockstep
+    from pysatl_cpd_spark.detectors import (
+        ArgmaxLocalizer,
+        BayesianLinearHeuristic,
+        BayesianOnlineDetector,
+        ConstantHazard,
+        HeuristicGaussianVsExponential,
+        ThresholdDetector,
+    )
+    from pysatl_cpd_spark.operators.cpd import detect_online
 
     # contract params picked for NONZERO output at the driver's sf0.01 gate
     # (hazard 50, learning 10 → 13 detections over the 150 event series);
     # a rows-only check on an empty result proves nothing.
-    # Runs the lockstep kernel — bit-identical to the sequential
-    # BayesianLinearHeuristic(BayesianOnlineDetector(...)) stack
-    # (tests/test_lockstep.py), so the transcription VALUES oracle is
-    # unchanged while the batch amortizes the per-observation dispatch.
-    factory = lambda: LockstepLinearBOCPD(  # noqa: E731
-        rate=50.0,
-        learning_sample_size=10,
-        threshold=0.04,
-        start_after=500,
-        prep=250,
+    # Deliberately the SEQUENTIAL kernel: this query is hash-gated against a
+    # transcription VALUES oracle built by the sequential recursion, and the
+    # lockstep twin is ulp-faithful but not bit-identical (numpy reduction
+    # trees are length-dependent over its padded rows — see
+    # detectors/lockstep.py), so a measure-zero threshold tie-break flip
+    # could fail the gate. The salt-bucketed operator keeps dispatch cheap.
+    inner = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(50.0),
+        HeuristicGaussianVsExponential(),
+        10,
+        ThresholdDetector(0.04),
+        ArgmaxLocalizer(),
     )
-    return detect_online_lockstep(_event_series(spark, sf_dir), factory)
+    factory = lambda: BayesianLinearHeuristic(inner, 500, 250)  # noqa: E731
+    return detect_online(_event_series(spark, sf_dir), factory)
 
 
 def cpd_cusum_localized(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,16 +9,26 @@ series simultaneously: one global step advances every active series by one
 observation, so each numpy call covers ~L series (2D arrays, lanes x
 run-length), amortizing dispatch ~L-fold.
 
-Exactness contract: bit-identical change points to
+Exactness contract: change points match
 ``BayesianLinearHeuristic(lambda: BayesianOnlineDetector(ConstantHazard(rate),
 HeuristicGaussianVsExponential(), lss, ThresholdDetector(thr),
 ArgmaxLocalizer()), start_after, prep).process_series(values)`` for every
-series. Achieved by:
+series. Mechanisms:
 
 - identical per-element fp operation order (the 2D ufuncs broadcast the same
-  scalar/grid operands the 1D kernels use; multiplications commuted only);
-- posterior rows zero-padded, predictive densities sanitized, so padded
-  column sums are exact no-ops (x + 0.0 == x);
+  scalar/grid operands the 1D kernels use; multiplications commuted only) —
+  every ELEMENTWISE value is bit-identical;
+- posterior rows zero-padded and predictive densities sanitized, so padded
+  columns contribute exact zeros to the two per-step reductions (cp_mass,
+  evidence). CAVEAT: numpy's reduction tree is LENGTH-dependent (8-way
+  unrolled accumulators), so a row summed at the cohort's padded width can
+  differ from the sequential exact-length sum in the final ulp — meaning
+  the posterior is ulp-faithful, not bit-identical, and a detection could
+  in principle flip on a threshold tie within ~1 ulp of ``thr``. No flip
+  has been observed across the differential suite plus 800+ fuzz series
+  (tests/test_lockstep.py asserts exact cp equality); hash-gated contract
+  queries nevertheless use the sequential kernel, and lockstep serves the
+  throughput paths (bench flagship, bulk detection);
 - the truncate-retrain-REPLAY after a detection is re-expressed as "rejoin
   the lockstep at the truncation point with threshold checks suppressed
   until the stream position already reached" — observation-for-observation
@@ -152,10 +162,12 @@ class _Cohort:
 
 
 class LockstepLinearBOCPD:
-    """Batch driver with the exact semantics of
+    """Batch driver with the semantics of
     BayesianLinearHeuristic(BayesianOnlineDetector(ConstantHazard(rate),
     HeuristicGaussianVsExponential(), lss, ThresholdDetector(threshold),
-    ArgmaxLocalizer()), start_after, prep).process_series per series."""
+    ArgmaxLocalizer()), start_after, prep).process_series per series
+    (elementwise bit-identical, reductions ulp-faithful — see the module
+    docstring for the padded-sum caveat)."""
 
     def __init__(
         self,

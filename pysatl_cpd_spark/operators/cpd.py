@@ -162,10 +162,20 @@ def detect_online_lockstep(
     ``n_buckets`` defaults to 2x the session's default parallelism — enough
     tasks to fill the cluster while keeping batches big enough to amortize.
     Monster series should go through ``chunk_series`` first, as with
-    ``detect_online``."""
+    ``detect_online``. ``n_buckets=0`` (the co-location opt-out of the
+    sequential variants) is rejected: lockstep NEEDS multi-series batches,
+    and a per-series grouping would silently degrade it to worse-than-
+    sequential — use ``detect_online(..., n_buckets=0)`` over bucketed
+    tables instead."""
     spark = series_df.sparkSession
     if n_buckets is None:
         n_buckets = 2 * spark.sparkContext.defaultParallelism
+    if n_buckets <= 0:
+        raise ValueError(
+            "detect_online_lockstep requires n_buckets >= 1 (batching is the "
+            "mechanism); for co-located bucketed input use detect_online with "
+            "n_buckets=0"
+        )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["series_id", "t"])
@@ -296,11 +306,12 @@ def detect_offline_multivariate(
             }
         )
 
-    pruned = (
-        series_df.select("series_id", "t", "vec")
-        .withColumn("bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)))
-        .repartition(n_buckets, "bucket")  # AQE-coalesce-proof (see _bucketed)
-    )
+    pruned = series_df.select("series_id", "t", "vec")
+    if n_buckets == 0:  # co-located input (see _bucketed): no salt shuffle
+        return pruned.groupBy("series_id").applyInPandas(run, CP_SCHEMA)
+    pruned = pruned.withColumn(
+        "bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets))
+    ).repartition(n_buckets, "bucket")  # AQE-coalesce-proof (see _bucketed)
     return pruned.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
 
 

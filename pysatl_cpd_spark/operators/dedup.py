@@ -410,6 +410,16 @@ def _lineage_checkpoint(df: DataFrame) -> DataFrame:
     on a real cluster — and falls back to ``localCheckpoint`` (executor-
     local blocks, one job, no HDFS round-trip) otherwise, which is the fast
     mode for local[] runs where executor loss means the app is gone anyway.
+
+    Storage caveat for the reliable mode: Spark keeps every reliable
+    checkpoint on the durable store until app exit (or until the GC-driven
+    cleaner runs, and only with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``, default
+    false), so an iterative loop accumulates up to ``max_rounds`` full
+    label-set snapshots per invocation. Production deployments should set
+    that conf and point the checkpoint dir at a TTL'd/scratch prefix;
+    localCheckpoint blocks, by contrast, are block-manager-managed and
+    cleaned automatically.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

@@ -54,6 +54,7 @@ def synthesize_media(
         n_bytes = 64 + int(_h(f"{seed}:{i}:len")[:8], 16) % 1984
         body = "".join(_h(f"{seed}:{i}:{j}") for j in range((n_bytes + 31) // 32))
         payload = body[:n_bytes].encode("ascii")
+        png_dims = None
         if real_png and kind == "image":
             from pysatl_cpd_spark.operators.png import encode_png
 
@@ -70,14 +71,19 @@ def synthesize_media(
                 axis=2,
             ).astype(np.uint8)
             payload = encode_png(pix)
+            png_dims = (w0, h0)  # metadata must describe the actual payload
         rows.append(
             (
                 i,
                 kind,
                 payload,
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                16 + int(_h(f"{seed}:{i}:w")[:4], 16) % 496 if kind != "audio" else None,
-                16 + int(_h(f"{seed}:{i}:h")[:4], 16) % 496 if kind != "audio" else None,
+                png_dims[0]
+                if png_dims
+                else (16 + int(_h(f"{seed}:{i}:w")[:4], 16) % 496 if kind != "audio" else None),
+                png_dims[1]
+                if png_dims
+                else (16 + int(_h(f"{seed}:{i}:h")[:4], 16) % 496 if kind != "audio" else None),
                 0.5 + (int(_h(f"{seed}:{i}:d")[:4], 16) % 29500) / 1000.0
                 if kind != "image"
                 else None,
@@ -103,7 +109,16 @@ def _try_real_decode(payload: bytes) -> np.ndarray:
     from pysatl_cpd_spark.operators.png import decode_png
 
     try:
-        return decode_png(payload)
+        px = decode_png(payload)
+        # normalize to RGB exactly like the Pillow path's convert("RGB"):
+        # greyscale replicates, RGBA drops alpha — same payload must yield
+        # the same pixel array on every executor regardless of which decode
+        # path that executor has available
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        elif px.shape[2] == 4:
+            px = px[:, :, :3]
+        return px
     except ValueError as exc:
         raise NotImplementedError(
             f"real decode: payload is not a PNG this codec handles and "
