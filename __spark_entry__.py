@@ -1761,6 +1761,41 @@ GROUP BY event_type, date_trunc('day', ts)
 """
 
 
+def rollup_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters tier (Misra-Gries truncation, Agarwal 2012)
+    through the FULL hierarchy (raw → 1m summaries → 1h merge → 1d merge),
+    exploded to relational (bucket, rank, item, cnt). With k=8 > the ~5
+    distinct event types per bucket the summary is exact at every tier
+    (mg_err 0), so the merged counts are value-comparable to DuckDB's exact
+    daily top-k — the summary-merge plumbing is what this verifies."""
+    from pysatl_cpd_spark.operators.rollup import rollup_topk_hierarchy
+
+    ev = _t(spark, sf_dir, "events")
+    day = rollup_topk_hierarchy(ev, [], item_col="event_type", k=8)["1d"]
+    return day.select(
+        "bucket", F.posexplode("topk").alias("rank0", "e")
+    ).select(
+        "bucket",
+        (F.col("rank0") + 1).cast("long").alias("rank"),
+        F.col("e.item").alias("item"),
+        F.col("e.cnt").alias("cnt"),
+    )
+
+
+TOPK_DAILY_SQL = """
+SELECT bucket, CAST(rank AS BIGINT) AS rank, item, cnt FROM (
+  SELECT date_trunc('day', ts) AS bucket, event_type AS item,
+         count(*) AS cnt,
+         row_number() OVER (
+             PARTITION BY date_trunc('day', ts)
+             ORDER BY count(*) DESC, event_type
+         ) AS rank
+  FROM events
+  GROUP BY date_trunc('day', ts), event_type
+) WHERE rank <= 8
+"""
+
+
 def rollup_quantiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile tier through the FULL KLL hierarchy (1m sketches → 1h
     merge → 1d merge): p50/p95 of value per (event_type, day). Exact below
@@ -2232,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inter_event_gaps": inter_event_gaps,
         "doc_fingerprints": doc_fingerprints,
         "event_user_set_ops": event_user_set_ops,
+        "rollup_topk_daily": rollup_topk_daily,
     }
 
 
@@ -2353,6 +2389,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "rollup_distinct_daily": DISTINCT_DAILY_SQL,
         "rollup_quantiles_daily": QUANTILES_DAILY_SQL,
         "theta_user_overlap": THETA_OVERLAP_SQL,
+        "rollup_topk_daily": TOPK_DAILY_SQL,
         "cpd_cusum_localized": _cusum_localized_sql(),
         "cpd_confusion": CONFUSION_SQL,
         "scrubber_windows": SCRUBBER_SQL,

@@ -270,3 +270,116 @@ def theta_user_overlap(
             .alias("n_either"),
         )
     )
+
+
+def rollup_tier_topk(
+    df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    k: int = 8,
+) -> DataFrame:
+    """Tier with a MERGEABLE heavy-hitters (frequent items) summary per
+    bucket — Misra-Gries truncation per Agarwal et al., "Mergeable
+    Summaries" (PODS 2012): keep the k largest per-item counters, subtract
+    the (k+1)-th counter's value from the kept ones, and carry that value
+    as ``mg_err`` (the max undercount of any stored estimate; true count is
+    within [cnt, cnt + mg_err]). Items are counted EXACTLY within the
+    finest tier first (a distributed groupBy, no per-executor state), so
+    the summary is the standard exact-partial -> truncate construction;
+    coarser tiers merge summaries without touching raw rows
+    (``rollup_topk_hierarchy``). With <= k distinct items per bucket the
+    summary is exact (mg_err = 0) — the oracle-checkable regime.
+
+    Output: (keys, bucket, n_points, topk array<struct<cnt,item>> sorted by
+    (cnt desc, item), mg_err)."""
+    trunc = TIER_TRUNC[tier]
+    bucket = F.date_trunc(trunc, F.col(ts_col)).alias("bucket")
+    counts = df.groupBy(*key_cols, bucket, F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return _truncate_topk(
+        counts.groupBy(*key_cols, "bucket").agg(
+            F.sum("cnt").alias("n_points"),
+            F.collect_list(F.struct("cnt", "item")).alias("_all"),
+        ),
+        k,
+        F.lit(0),
+    )
+
+
+def _truncate_topk(grouped: DataFrame, k: int, carried_err) -> DataFrame:
+    """Misra-Gries truncation of a per-bucket (cnt, item) list: sort by
+    (cnt desc, item asc), keep k, subtract the (k+1)-th count from the kept
+    ones, add it (plus any carried child error) to ``mg_err``."""
+    # cnt desc with deterministic ascending-item ties, via a sortable
+    # negative-count key
+    ordered = F.array_sort(
+        F.transform("_all", lambda s: F.struct((-s["cnt"]).alias("negcnt"), s["item"].alias("item")))
+    )
+    sub = F.when(
+        F.size(ordered) > k, -F.element_at(ordered, k + 1)["negcnt"]
+    ).otherwise(F.lit(0))
+    kept = F.filter(
+        F.transform(
+            F.slice(ordered, 1, k),
+            lambda s: F.struct((-s["negcnt"] - sub).alias("cnt"), s["item"].alias("item")),
+        ),
+        lambda s: s["cnt"] > 0,
+    )
+    return grouped.select(
+        *[c for c in grouped.columns if c not in ("_all",)],
+        kept.alias("topk"),
+        (sub + carried_err).alias("mg_err"),
+    ).withColumn("mg_err", F.col("mg_err").cast("long"))
+
+
+def rollup_topk_hierarchy(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    k: int = 8,
+) -> dict[str, DataFrame]:
+    """1m/1h/1d heavy-hitter tiers; 1h and 1d MERGE the finer tier's
+    summaries (explode stored counters -> sum per item -> re-truncate; the
+    merged error is the children's max carried error plus the new
+    subtraction — the mergeability law of Agarwal et al. Thm 1), so raw
+    rows are scanned exactly once, like the HLL/KLL/Theta tiers."""
+    out: dict[str, DataFrame] = {}
+    minute = rollup_tier_topk(df, "1m", key_cols, ts_col, item_col, k)
+    out["1m"] = minute
+    prev = minute
+    for tier in ("1h", "1d"):
+        bucket = F.date_trunc(TIER_TRUNC[tier], F.col("bucket")).alias("bucket")
+        exploded = prev.select(
+            *key_cols,
+            bucket,
+            F.col("n_points"),
+            F.col("mg_err"),
+            F.explode_outer("topk").alias("e"),
+        )
+        summed = exploded.groupBy(*key_cols, "bucket", F.col("e.item").alias("item")).agg(
+            F.sum("e.cnt").alias("cnt")
+        )
+        # n_points / child error aggregate per merged bucket (one row per
+        # child summary -> sum n_points once per child, not per item); the
+        # merged undercount bound is the SUM of child errors: a stored item
+        # undercounts by <= err in each child, and an item absent from a
+        # child's summary may have had true count up to that child's err
+        child_meta = prev.select(
+            *key_cols, bucket, "n_points", "mg_err"
+        ).groupBy(*key_cols, "bucket").agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("mg_err").alias("child_err"),
+        )
+        collected = summed.groupBy(*key_cols, "bucket").agg(
+            F.collect_list(F.struct("cnt", "item")).alias("_all")
+        )
+        merged = child_meta.join(collected, [*key_cols, "bucket"], "left").withColumn(
+            "_all", F.coalesce("_all", F.array().cast("array<struct<cnt:bigint,item:string>>"))
+        )
+        prev = _truncate_topk(merged, k, F.col("child_err")).drop("child_err")
+        out[tier] = prev
+    return out

@@ -11,6 +11,9 @@ DataFrames, so the storage format is invisible to the operators.
 Table references:
   - ``iceberg:catalog.db.table``  → ``spark.table`` / ``writeTo`` (v2 API)
   - ``parquet:/path`` or ``/path`` → parquet read/write
+  - ``orc:/path`` / ``csv:/path`` / ``json:/path`` → the named format
+    (ORC columnar with pushdown; CSV with header+inference and JSON
+    line-delimited for ingest interchange)
 
 Partitioning for the 10^12-turn transcripts table: ``days(ts)`` (time prune
 for retention + rollup windows) × ``bucket(conv_id)`` (co-locates each
@@ -35,12 +38,16 @@ ICEBERG_SUBMIT_CONF = [
 TRANSCRIPTS_PARTITION_HINT = "days(ts), bucket(<n_executors>, conv_id)"
 
 
+_PATH_FORMATS = ("parquet", "orc", "csv", "json")
+
+
 def parse_ref(ref: str) -> tuple[str, str]:
     """Split a table reference into (kind, target)."""
     if ref.startswith("iceberg:"):
         return "iceberg", ref[len("iceberg:") :]
-    if ref.startswith("parquet:"):
-        return "parquet", ref[len("parquet:") :]
+    for fmt in _PATH_FORMATS:
+        if ref.startswith(fmt + ":"):
+            return fmt, ref[len(fmt) + 1 :]
     return "parquet", ref
 
 
@@ -55,14 +62,21 @@ def _iceberg_unavailable(exc: Exception) -> NotImplementedError:
 def load_table(spark: SparkSession, ref: str) -> DataFrame:
     """Read a table reference. Iceberg refs resolve through the session
     catalog (predicate pushdown, partition pruning, snapshot isolation come
-    from the Iceberg source); parquet refs read the path directly."""
+    from the Iceberg source); path refs read directly in the named format —
+    ``parquet:`` (default, columnar + pushdown), ``orc:`` (same class),
+    ``csv:`` / ``json:`` (row formats for ingest interchange; csv reads with
+    header + schema inference, json as line-delimited records)."""
     kind, target = parse_ref(ref)
     if kind == "iceberg":
         try:
             return spark.table(target)
         except Exception as exc:  # noqa: BLE001 - catalog missing/misconfigured
             raise _iceberg_unavailable(exc) from exc
-    return spark.read.parquet(target)
+    if kind == "csv":
+        return spark.read.option("header", "true").option(
+            "inferSchema", "true"
+        ).csv(target)
+    return spark.read.format(kind).load(target)
 
 
 def write_bucketed_series(

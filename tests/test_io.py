@@ -99,3 +99,23 @@ def test_bucketed_series_detection_is_shuffle_free(spark, tmp_path):
     got_b = {(r.series_id, r.change_point) for r in out_b.collect()}
     got_u = {(r.series_id, r.change_point) for r in detect_offline(series, factory).collect()}
     assert got_b == got_u and got_b
+
+
+def test_load_table_multi_format(spark, tmp_path):
+    """orc:/csv:/json: refs read back the same rows parquet does."""
+    from pysatl_cpd_spark.sources.catalog import load_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -0.25), (3, "c", 0.0)],
+        "id long, name string, value double",
+    )
+    want = {(r.id, r.name, r.value) for r in df.collect()}
+    for fmt in ("parquet", "orc", "json"):
+        path = str(tmp_path / fmt)
+        df.write.format(fmt).save(path)
+        back = load_table(spark, f"{fmt}:{path}")
+        assert {(int(r.id), r.name, float(r.value)) for r in back.collect()} == want, fmt
+    path = str(tmp_path / "csv")
+    df.write.option("header", "true").csv(path)
+    back = load_table(spark, f"csv:{path}")
+    assert {(int(r.id), r.name, float(r.value)) for r in back.collect()} == want

@@ -248,3 +248,69 @@ def test_streaming_quantile_tier_matches_batch(spark, tmp_path):
         assert r.p50 in vals
         i = bisect.bisect_left(vals, r.p50)
         assert abs(i - len(vals) / 2) <= 1.5  # at (or adjacent to) the median rank
+
+
+def test_topk_tiers_exact_when_under_k(spark):
+    """Heavy-hitter tiers: with <= k distinct items per bucket the summary
+    is exact (mg_err 0) and the 1d tier equals a direct exact top-k."""
+    from pysatl_cpd_spark.operators.rollup import rollup_topk_hierarchy
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tiers = rollup_topk_hierarchy(ev, ["user_id"], item_col="event_type", k=8)
+    d = tiers["1d"].toPandas()
+    assert (d["mg_err"] == 0).all()  # few event types << k
+
+    # direct exact top-k per (user, day) for comparison
+    import pandas as pd
+
+    raw = ev.toPandas()
+    raw["bucket"] = raw["ts"].dt.floor("D")
+    want = {}
+    for (u, b), grp in raw.groupby(["user_id", "bucket"]):
+        counts = grp.groupby("event_type").size().reset_index(name="cnt")
+        counts = counts.sort_values(["cnt", "event_type"], ascending=[False, True])
+        want[(u, b)] = [(int(c), e) for e, c in zip(counts["event_type"], counts["cnt"])]
+    for _, row in d.iterrows():
+        got = [(int(s["cnt"]), s["item"]) for s in row["topk"]]
+        assert got == want[(row["user_id"], row["bucket"])], row["user_id"]
+    # n_points conservation through the merges
+    assert d["n_points"].sum() == len(raw)
+
+
+def test_topk_merge_bound_beyond_k(spark):
+    """When distinct items exceed k, stored estimates undercount by at most
+    mg_err, every true heavy hitter above the error bound survives, and the
+    hierarchy merge honors the (sum child errs + subtraction) law."""
+    import numpy as np
+
+    from pysatl_cpd_spark.operators.rollup import rollup_topk_hierarchy
+
+    rng = np.random.default_rng(5)
+    # one key, one day, 3 hours; 20 distinct items, zipf-ish counts
+    rows = []
+    for h in range(3):
+        for item in range(20):
+            n = 1 + int(200 / (item + 1))
+            for j in range(n):
+                rows.append(
+                    ("k", f"item{item:02d}", f"2024-03-01 {h:02d}:{j % 50:02d}:00")
+                )
+    df = (
+        spark.createDataFrame(rows, "user_id string, event_type string, ts_s string")
+        .selectExpr("user_id", "event_type", "cast(ts_s as timestamp) as ts")
+    )
+    tiers = rollup_topk_hierarchy(df, ["user_id"], item_col="event_type", k=5)
+    day = tiers["1d"].collect()
+    assert len(day) == 1
+    row = day[0]
+    true_counts = {}
+    for _, item, _ts in rows:
+        true_counts[item] = true_counts.get(item, 0) + 1
+    err = row.mg_err
+    assert err > 0
+    for s in row.topk:
+        true = true_counts[s.item]
+        assert s.cnt <= true <= s.cnt + err, (s.item, s.cnt, true, err)
+    # the dominant item must survive truncation at every tier
+    assert any(s.item == "item00" for s in row.topk)
+    assert row.n_points == len(rows)
