@@ -100,3 +100,38 @@ def streaming_rollup_distinct(
             "distinct_est",
         )
     )
+
+
+def streaming_rollup_topk(
+    stream_df: DataFrame,
+    tier: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    watermark: str = "10 minutes",
+    k: int = 8,
+) -> DataFrame:
+    """Streaming twin of operators/rollup.rollup_tier_topk: per watermarked
+    tumbling window, exact per-item counts collected into the same
+    Misra-Gries summary shape (topk array + mg_err) the batch hierarchy
+    merges — so streamed heavy-hitter summaries land in the lake and
+    coarser batch tiers merge them without rescanning the stream."""
+    from pysatl_cpd_spark.operators.rollup import _truncate_topk
+
+    duration = _TIER_DURATION[tier]
+    counts = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            *key_cols,
+            F.window(ts_col, duration).alias("w"),
+            F.col(item_col).alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grouped = counts.groupBy(*key_cols, "w").agg(
+        F.sum("cnt").alias("n_points"),
+        F.collect_list(F.struct("cnt", "item")).alias("_all"),
+    )
+    return _truncate_topk(grouped, k, F.lit(0)).select(
+        *key_cols, F.col("w.start").alias("bucket"), "n_points", "topk", "mg_err"
+    )

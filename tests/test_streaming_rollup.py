@@ -314,3 +314,95 @@ def test_topk_merge_bound_beyond_k(spark):
     # the dominant item must survive truncation at every tier
     assert any(s.item == "item00" for s in row.topk)
     assert row.n_points == len(rows)
+
+
+def test_streaming_topk_tier_matches_batch_and_merges(spark, tmp_path):
+    """Streaming MG heavy-hitter tier == batch tier per bucket, and the
+    streamed 1m summaries merge into the batch hourly summary via the same
+    explode->sum->retruncate law — the stream→lake handoff for top-k."""
+    from pysatl_cpd_spark.operators.rollup import (
+        _truncate_topk,
+        rollup_tier_topk,
+    )
+    from pysatl_cpd_spark.streaming.rollup import streaming_rollup_topk
+
+    rng = np.random.default_rng(9)
+    items = np.array(["click", "view", "purchase", "error", "signup"])
+    pdf = pd.DataFrame(
+        {
+            "key": ["a"] * 150 + ["b"] * 90,
+            "ts": pd.date_range("2024-01-01", periods=240, freq="31s"),
+            "event_type": items[rng.integers(0, 5, 240)],
+        }
+    )
+    path = str(tmp_path / "in")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(path)
+
+    stream = spark.readStream.schema(
+        "key string, ts timestamp, event_type string"
+    ).parquet(path)
+    out = streaming_rollup_topk(stream, "1m", ["key"], k=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topk_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM topk_out")
+    batch = rollup_tier_topk(
+        spark.read.parquet(path), "1m", ["key"], item_col="event_type", k=8
+    ).select("key", "bucket", F.col("topk").alias("batch_topk"))
+    merged = got.join(batch, ["key", "bucket"]).toPandas()
+    assert len(merged) == got.count() > 0
+    for _, row in merged.iterrows():
+        assert [(s["cnt"], s["item"]) for s in row["topk"]] == [
+            (s["cnt"], s["item"]) for s in row["batch_topk"]
+        ]
+
+    # streamed 1m summaries -> hourly via the batch merge law. Snapshot the
+    # memory-sink view first: deriving both join sides from the same view
+    # trips a conflicting-references resolution failure (and parquet IS the
+    # stream->lake handoff being modeled anyway).
+    snap = str(tmp_path / "snap")
+    got.write.parquet(snap)
+    lake = spark.read.parquet(snap)
+    exploded = lake.select(
+        "key",
+        F.date_trunc("hour", "bucket").alias("bucket"),
+        "n_points",
+        "mg_err",
+        F.explode_outer("topk").alias("e"),
+    )
+    summed = exploded.groupBy("key", "bucket", F.col("e.item").alias("item")).agg(
+        F.sum("e.cnt").alias("cnt")
+    )
+    child = lake.groupBy("key", F.date_trunc("hour", "bucket").alias("bucket")).agg(
+        F.sum("n_points").alias("n_points"), F.sum("mg_err").alias("child_err")
+    )
+    collected = summed.groupBy("key", "bucket").agg(
+        F.collect_list(F.struct("cnt", "item")).alias("_all")
+    )
+    hourly_stream = _truncate_topk(
+        child.join(collected, ["key", "bucket"]), 8, F.col("child_err")
+    ).drop("child_err")
+    hourly_batch = rollup_tier_topk(
+        spark.read.parquet(path), "1h", ["key"], item_col="event_type", k=8
+    ).select(
+        "key",
+        "bucket",
+        F.col("topk").alias("batch_topk"),
+        F.col("n_points").alias("batch_np"),
+    )
+    hm = hourly_stream.join(hourly_batch, ["key", "bucket"]).toPandas()
+    # append mode withholds the final unwatermarked minute buckets, so only
+    # hours whose streamed points equal the batch count are fully emitted —
+    # those must merge to the identical summary
+    full = hm[hm["n_points"] == hm["batch_np"]]
+    assert len(full) > 0
+    for _, row in full.iterrows():
+        assert [(s["cnt"], s["item"]) for s in row["topk"]] == [
+            (s["cnt"], s["item"]) for s in row["batch_topk"]
+        ]
