@@ -197,3 +197,43 @@ def test_detect_online_lockstep_operator_parity(spark):
     }
     series.unpersist()
     assert seq == lock and len(seq) > 10
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _series_batch(draw):
+    """1-6 short series mixing exponential/gaussian/constant segments,
+    including adversarial values (zeros, negatives, huge magnitudes)."""
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    series = []
+    for _ in range(draw(st.integers(1, 6))):
+        parts = []
+        for _ in range(draw(st.integers(1, 4))):
+            kind = draw(st.sampled_from(["exp", "gauss", "const", "wild"]))
+            n = draw(st.integers(5, 90))
+            if kind == "exp":
+                parts.append(rng.exponential(draw(st.floats(1e-6, 50.0)), n))
+            elif kind == "gauss":
+                parts.append(
+                    rng.normal(draw(st.floats(-100, 100)), draw(st.floats(1e-9, 10)), n)
+                )
+            elif kind == "const":
+                parts.append(np.full(n, draw(st.floats(-1e6, 1e6))))
+            else:
+                parts.append(
+                    rng.choice([0.0, -1.0, 1e12, 1e-12, 5.0], size=n)
+                )
+        series.append(np.concatenate(parts))
+    return series
+
+
+@settings(max_examples=30, deadline=None)
+@given(_series_batch())
+def test_lockstep_hypothesis_parity(series):
+    """Property: lockstep == sequential, point for point, on arbitrary
+    segment mixtures including degenerate/adversarial values."""
+    got = _lockstep(series)
+    for i, s in enumerate(series):
+        assert got[i] == _sequential_cps(s), f"series {i} len {len(s)}"
