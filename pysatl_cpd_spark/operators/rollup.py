@@ -335,6 +335,51 @@ def _truncate_topk(grouped: DataFrame, k: int, carried_err) -> DataFrame:
     ).withColumn("mg_err", F.col("mg_err").cast("long"))
 
 
+def merge_topk_summaries(
+    summaries: DataFrame,
+    key_cols: list[str],
+    bucket_expr,
+    k: int,
+) -> DataFrame:
+    """Merge Misra-Gries summaries (topk array + mg_err per row) into coarser
+    buckets — the mergeability law of Agarwal et al. Thm 1: sum stored
+    counters per item, re-truncate to k, and the merged undercount bound is
+    the SUM of child errors plus the new subtraction (a stored item
+    undercounts by <= err in each child; an item absent from a child's
+    summary may have had true count up to that child's err).
+
+    Implemented as ONE pass over ``summaries`` (posexplode_outer + two
+    chained aggregations, no self-join): the pos==0-or-null marker makes
+    each child row contribute its n_points/mg_err exactly once, empty child
+    summaries flow through the null-item group (their meta counted, no
+    phantom counter — a plain explode_outer + collect would let the null
+    struct steal a top-k slot, array_sort places nulls first), and
+    collect_list drops the null entries from the merged counter set."""
+    first = F.col("pos").isNull() | (F.col("pos") == 0)
+    exploded = summaries.select(
+        *key_cols,
+        bucket_expr.alias("bucket"),
+        "n_points",
+        "mg_err",
+        F.posexplode_outer("topk").alias("pos", "e"),
+    )
+    item_lvl = exploded.groupBy(
+        *key_cols, "bucket", F.col("e.item").alias("item")
+    ).agg(
+        F.sum("e.cnt").alias("cnt"),
+        F.sum(F.when(first, F.col("n_points")).otherwise(0)).alias("np_part"),
+        F.sum(F.when(first, F.col("mg_err")).otherwise(0)).alias("err_part"),
+    )
+    merged = item_lvl.groupBy(*key_cols, "bucket").agg(
+        F.collect_list(
+            F.when(F.col("item").isNotNull(), F.struct("cnt", "item"))
+        ).alias("_all"),
+        F.sum("np_part").alias("n_points"),
+        F.sum("err_part").alias("child_err"),
+    )
+    return _truncate_topk(merged, k, F.col("child_err")).drop("child_err")
+
+
 def rollup_topk_hierarchy(
     df: DataFrame,
     key_cols: list[str],
@@ -343,43 +388,16 @@ def rollup_topk_hierarchy(
     k: int = 8,
 ) -> dict[str, DataFrame]:
     """1m/1h/1d heavy-hitter tiers; 1h and 1d MERGE the finer tier's
-    summaries (explode stored counters -> sum per item -> re-truncate; the
-    merged error is the children's max carried error plus the new
-    subtraction — the mergeability law of Agarwal et al. Thm 1), so raw
-    rows are scanned exactly once, like the HLL/KLL/Theta tiers."""
+    summaries via ``merge_topk_summaries`` (sum-of-child-errors bound), so
+    each tier is one pass over the previous tier and raw rows are scanned
+    exactly once, like the HLL/KLL/Theta tiers."""
     out: dict[str, DataFrame] = {}
     minute = rollup_tier_topk(df, "1m", key_cols, ts_col, item_col, k)
     out["1m"] = minute
     prev = minute
     for tier in ("1h", "1d"):
-        bucket = F.date_trunc(TIER_TRUNC[tier], F.col("bucket")).alias("bucket")
-        exploded = prev.select(
-            *key_cols,
-            bucket,
-            F.col("n_points"),
-            F.col("mg_err"),
-            F.explode_outer("topk").alias("e"),
+        prev = merge_topk_summaries(
+            prev, key_cols, F.date_trunc(TIER_TRUNC[tier], F.col("bucket")), k
         )
-        summed = exploded.groupBy(*key_cols, "bucket", F.col("e.item").alias("item")).agg(
-            F.sum("e.cnt").alias("cnt")
-        )
-        # n_points / child error aggregate per merged bucket (one row per
-        # child summary -> sum n_points once per child, not per item); the
-        # merged undercount bound is the SUM of child errors: a stored item
-        # undercounts by <= err in each child, and an item absent from a
-        # child's summary may have had true count up to that child's err
-        child_meta = prev.select(
-            *key_cols, bucket, "n_points", "mg_err"
-        ).groupBy(*key_cols, "bucket").agg(
-            F.sum("n_points").alias("n_points"),
-            F.sum("mg_err").alias("child_err"),
-        )
-        collected = summed.groupBy(*key_cols, "bucket").agg(
-            F.collect_list(F.struct("cnt", "item")).alias("_all")
-        )
-        merged = child_meta.join(collected, [*key_cols, "bucket"], "left").withColumn(
-            "_all", F.coalesce("_all", F.array().cast("array<struct<cnt:bigint,item:string>>"))
-        )
-        prev = _truncate_topk(merged, k, F.col("child_err")).drop("child_err")
         out[tier] = prev
     return out

@@ -142,5 +142,16 @@ def write_table(
             raise
         except Exception as exc:  # noqa: BLE001
             raise _iceberg_unavailable(exc) from exc
+    # path formats write in the ref's named format so the same ref
+    # round-trips through load_table (csv keeps its header; the _day
+    # partition column applies to the columnar formats only — csv/json are
+    # interchange formats, not partitioned tables)
+    wmode = "overwrite" if mode == "create" else mode
+    if kind == "csv":
+        df.write.mode(wmode).option("header", "true").csv(target)
+        return
+    if kind == "json":
+        df.write.mode(wmode).json(target)
+        return
     out = df.withColumn("_day", F.to_date(F.col(ts_col)))
-    out.write.mode("overwrite" if mode == "create" else mode).partitionBy("_day").parquet(target)
+    out.write.mode(wmode).partitionBy("_day").format(kind).save(target)

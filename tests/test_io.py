@@ -119,3 +119,23 @@ def test_load_table_multi_format(spark, tmp_path):
     df.write.option("header", "true").csv(path)
     back = load_table(spark, f"csv:{path}")
     assert {(int(r.id), r.name, float(r.value)) for r in back.collect()} == want
+
+
+def test_write_table_format_roundtrip(spark, tmp_path):
+    """write_table honors the ref's named format, so the same ref
+    round-trips through load_table (review finding: it always wrote
+    parquet)."""
+    from pyspark.sql import functions as F
+
+    from pysatl_cpd_spark.sources.catalog import load_table, write_table
+
+    df = spark.createDataFrame(
+        [("c1", "2024-01-01 00:00:00", 1.5), ("c2", "2024-01-02 00:00:00", -2.0)],
+        "conv_id string, ts_s string, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    want = {(r.conv_id, float(r.value)) for r in df.collect()}
+    for fmt in ("orc", "csv", "json"):
+        ref = f"{fmt}:{tmp_path / ('t_' + fmt)}"
+        write_table(df, ref, mode="create")
+        back = load_table(spark, ref)
+        assert {(r.conv_id, float(r.value)) for r in back.collect()} == want, fmt

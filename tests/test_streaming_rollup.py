@@ -321,7 +321,7 @@ def test_streaming_topk_tier_matches_batch_and_merges(spark, tmp_path):
     streamed 1m summaries merge into the batch hourly summary via the same
     explode->sum->retruncate law — the stream→lake handoff for top-k."""
     from pysatl_cpd_spark.operators.rollup import (
-        _truncate_topk,
+        merge_topk_summaries,
         rollup_tier_topk,
     )
     from pysatl_cpd_spark.streaming.rollup import streaming_rollup_topk
@@ -369,25 +369,9 @@ def test_streaming_topk_tier_matches_batch_and_merges(spark, tmp_path):
     snap = str(tmp_path / "snap")
     got.write.parquet(snap)
     lake = spark.read.parquet(snap)
-    exploded = lake.select(
-        "key",
-        F.date_trunc("hour", "bucket").alias("bucket"),
-        "n_points",
-        "mg_err",
-        F.explode_outer("topk").alias("e"),
+    hourly_stream = merge_topk_summaries(
+        lake, ["key"], F.date_trunc("hour", "bucket"), 8
     )
-    summed = exploded.groupBy("key", "bucket", F.col("e.item").alias("item")).agg(
-        F.sum("e.cnt").alias("cnt")
-    )
-    child = lake.groupBy("key", F.date_trunc("hour", "bucket").alias("bucket")).agg(
-        F.sum("n_points").alias("n_points"), F.sum("mg_err").alias("child_err")
-    )
-    collected = summed.groupBy("key", "bucket").agg(
-        F.collect_list(F.struct("cnt", "item")).alias("_all")
-    )
-    hourly_stream = _truncate_topk(
-        child.join(collected, ["key", "bucket"]), 8, F.col("child_err")
-    ).drop("child_err")
     hourly_batch = rollup_tier_topk(
         spark.read.parquet(path), "1h", ["key"], item_col="event_type", k=8
     ).select(
@@ -406,3 +390,35 @@ def test_streaming_topk_tier_matches_batch_and_merges(spark, tmp_path):
         assert [(s["cnt"], s["item"]) for s in row["topk"]] == [
             (s["cnt"], s["item"]) for s in row["batch_topk"]
         ]
+
+
+def test_topk_merge_with_empty_child_summary(spark):
+    """Regression (code review r4): a child bucket whose truncation emptied
+    its topk (all kept counters tied with the (k+1)-th) must contribute its
+    n_points and error to the merge WITHOUT a phantom null counter stealing
+    a top-k slot. With k=2: minute A holds 3 tied items (empty topk,
+    mg_err=3), minute B holds d:10/e:8/f:1 (topk [(9,d),(7,e)], mg_err=1);
+    the merged hour must be [(9,d),(7,e)] with mg_err=4 — the buggy
+    explode_outer merge returned [(2,d)] with mg_err=11."""
+    from pysatl_cpd_spark.operators.rollup import rollup_topk_hierarchy
+
+    rows = []
+    for item in ("a", "b", "c"):  # minute 00: three-way tie
+        rows += [("k", item, f"2024-03-01 00:00:{s:02d}") for s in range(3)]
+    for item, n in (("d", 10), ("e", 8), ("f", 1)):  # minute 01
+        rows += [("k", item, f"2024-03-01 00:01:{s:02d}") for s in range(n)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts_s string"
+    ).selectExpr("user_id", "event_type", "cast(ts_s as timestamp) as ts")
+
+    tiers = rollup_topk_hierarchy(df, ["user_id"], item_col="event_type", k=2)
+    m = {r.bucket.minute: r for r in tiers["1m"].collect()}
+    assert [(s.cnt, s.item) for s in m[0].topk] == [] and m[0].mg_err == 3
+    assert [(s.cnt, s.item) for s in m[1].topk] == [(9, "d"), (7, "e")]
+    assert m[1].mg_err == 1
+
+    hour = tiers["1h"].collect()
+    assert len(hour) == 1
+    h = hour[0]
+    assert [(s.cnt, s.item) for s in h.topk] == [(9, "d"), (7, "e")]
+    assert h.mg_err == 4 and h.n_points == 28
