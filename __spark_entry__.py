@@ -1039,54 +1039,47 @@ def cpd_bocpd_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cpd_bocpd_online(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pysatl_cpd_spark.detectors import (
-        ArgmaxLocalizer,
-        BayesianOnlineDetector,
-        ConstantHazard,
-        GaussianConjugate,
-        ThresholdDetector,
-    )
-    from pysatl_cpd_spark.operators.cpd import detect_online
+    from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
+    from pysatl_cpd_spark.operators.cpd import detect_online_lockstep
 
-    factory = lambda: BayesianOnlineDetector(  # noqa: E731
-        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
-        GaussianConjugate(),
+    # LOCKSTEP kernel on the contract path: bare mode + pinned Gaussian is
+    # bit-identical to BayesianOnlineDetector(ConstantHazard, GaussianConjugate,
+    # 20, ThresholdDetector(0.04), ArgmaxLocalizer()).process_series — the
+    # exact-length reductions make posteriors byte-equal (tests/test_lockstep.py
+    # ::test_lockstep_bare_mode_parity / test_lockstep_posterior_bit_identical),
+    # so the transcription-oracle hash gate holds while the 3.6x/core batch
+    # kernel does the work.
+    factory = lambda: LockstepLinearBOCPD(  # noqa: E731
+        1.0 / (1.0 - 0.5 ** (1.0 / 500)),
         20,
-        ThresholdDetector(0.04),
-        ArgmaxLocalizer(),
+        0.04,
+        model="gauss",
+        bare=True,
     )
-    return detect_online(_event_series(spark, sf_dir), factory)
+    return detect_online_lockstep(
+        _event_series(spark, sf_dir), factory, n_buckets=8
+    )
 
 
 def cpd_linear_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pysatl_cpd_spark.detectors import (
-        ArgmaxLocalizer,
-        BayesianLinearHeuristic,
-        BayesianOnlineDetector,
-        ConstantHazard,
-        HeuristicGaussianVsExponential,
-        ThresholdDetector,
-    )
-    from pysatl_cpd_spark.operators.cpd import detect_online
+    from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
+    from pysatl_cpd_spark.operators.cpd import detect_online_lockstep
 
     # contract params picked for NONZERO output at the driver's sf0.01 gate
     # (hazard 50, learning 10 → 13 detections over the 150 event series);
     # a rows-only check on an empty result proves nothing.
-    # Deliberately the SEQUENTIAL kernel: this query is hash-gated against a
-    # transcription VALUES oracle built by the sequential recursion, and the
-    # lockstep twin is ulp-faithful but not bit-identical (numpy reduction
-    # trees are length-dependent over its padded rows — see
-    # detectors/lockstep.py), so a measure-zero threshold tie-break flip
-    # could fail the gate. The salt-bucketed operator keeps dispatch cheap.
-    inner = lambda: BayesianOnlineDetector(  # noqa: E731
-        ConstantHazard(50.0),
-        HeuristicGaussianVsExponential(),
-        10,
-        ThresholdDetector(0.04),
-        ArgmaxLocalizer(),
+    # LOCKSTEP kernel on the contract path: the exact-length reductions make
+    # its posteriors byte-equal to the sequential
+    # BayesianLinearHeuristic(BayesianOnlineDetector(...)) stack this query's
+    # transcription VALUES oracle was built from (tests/test_lockstep.py
+    # posterior byte-equality + differential suite), so the hash gate holds
+    # while the 3.6x/core batch kernel does the work.
+    factory = lambda: LockstepLinearBOCPD(  # noqa: E731
+        50.0, 10, 0.04, 500, 250
     )
-    factory = lambda: BayesianLinearHeuristic(inner, 500, 250)  # noqa: E731
-    return detect_online(_event_series(spark, sf_dir), factory)
+    return detect_online_lockstep(
+        _event_series(spark, sf_dir), factory, n_buckets=8
+    )
 
 
 def cpd_cusum_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1604,26 +1597,42 @@ JOIN sig sb ON sb.doc_id = p.doc_b
 
 
 def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    # FULL 120-bit simhash (two md5-half 60-bit hashes), matching
+    # operators/dedup.py::simhash(bits=120): bits 0-59 from hex[1:15],
+    # bits 60-119 from hex[16:30]; hamming = popcount(lo) + popcount(hi)
     bit_sums = ",\n    ".join(
-        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60)
+        f"sum(CASE WHEN ({'h' if i < 60 else 'h2'} >> {i % 60}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(120)
     )
-    sim_expr = " + ".join(
+    sim_lo = " + ".join(
         f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    sim_hi = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << (i - 60)} ELSE 0 END)"
+        for i in range(60, 120)
     )
     return f"""
 WITH {_TOKS_CTE.strip()}, hashed AS (
-  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h FROM toks
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h,
+         CAST('0x' || substr(md5(token), 16, 15) AS BIGINT) AS h2
+  FROM toks
 ), bits AS (
   SELECT doc_id,
     {bit_sums}
   FROM hashed GROUP BY doc_id
 ), sim AS (
-  SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits
+  SELECT doc_id, CAST({sim_lo} AS BIGINT) AS simhash,
+         CAST({sim_hi} AS BIGINT) AS simhash_hi
+  FROM bits
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash))
+            + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS BIGINT) AS hamming
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+WHERE bit_count(xor(a.simhash, b.simhash))
+      + bit_count(xor(a.simhash_hi, b.simhash_hi)) <= {max_hamming}
 """
 
 

@@ -18,23 +18,28 @@ series. Mechanisms:
 - identical per-element fp operation order (the 2D ufuncs broadcast the same
   scalar/grid operands the 1D kernels use; multiplications commuted only) —
   every ELEMENTWISE value is bit-identical;
-- posterior rows zero-padded and predictive densities sanitized, so padded
-  columns contribute exact zeros to the two per-step reductions (cp_mass,
-  evidence). CAVEAT: numpy's reduction tree is LENGTH-dependent (8-way
-  unrolled accumulators), so a row summed at the cohort's padded width can
-  differ from the sequential exact-length sum in the final ulp — meaning
-  the posterior is ulp-faithful, not bit-identical, and a detection could
-  in principle flip on a threshold tie within ~1 ulp of ``thr``. No flip
-  has been observed across the differential suite plus 800+ fuzz series
-  (tests/test_lockstep.py asserts exact cp equality); hash-gated contract
-  queries nevertheless use the sequential kernel, and lockstep serves the
-  throughput paths (bench flagship, bulk detection);
+- the two per-step reductions (cp_mass, evidence) are taken at each row's
+  EXACT run-length count, not the cohort's padded width: rows are grouped
+  by current run length and each group reduced with ``sum(axis=1)`` over
+  the unpadded extent. numpy's pairwise-summation tree is a pure function
+  of (contiguous layout, length), so each row's sum is BIT-IDENTICAL to
+  the sequential kernel's 1D ``tmp[:r].sum()`` / ``probs[:r+1].sum()``
+  (verified by tests/test_lockstep.py's posterior byte-equality trace).
+  The posterior is therefore bit-identical, not merely ulp-faithful, and
+  lockstep is safe on the hash-gated contract path;
 - the truncate-retrain-REPLAY after a detection is re-expressed as "rejoin
   the lockstep at the truncation point with threshold checks suppressed
   until the stream position already reached" — observation-for-observation
-  the same recursion the sequential replay loop runs (threshold detections
-  are suppressed during replay in the sequential code too; posterior
-  collapses during replay set a lingering fired flag, honored here);
+  the same recursion the sequential replay loop runs. Threshold detections
+  are suppressed during replay in the sequential code too, and a posterior
+  COLLAPSE during replay sets a ``_fired`` the sequential ``localize``
+  discards at the end of the firing call — so no flag may outlive the
+  replay here either. For a collapse at run length >= 2 the posterior
+  keeps a trailing zero through every later step, so the first fresh
+  observation fires via the ordinary ``last < thr`` check in both kernels;
+  for a collapse at run length 1 neither kernel fires (a lingering-flag
+  force-fire here was a parity bug, removed — see
+  tests/test_lockstep.py::test_lockstep_r1_replay_collapse);
 - model selection per (re)learn delegates to the REAL
   ``HeuristicGaussianVsExponential.learn`` on the same 20-point sample;
 - the rare regimes the 2D kernels do not model — the linear heuristic's
@@ -68,6 +73,26 @@ from pysatl_cpd_spark.detectors.linear_heuristic import BayesianLinearHeuristic
 from pysatl_cpd_spark.detectors.special import _quiet_fp
 
 FloatArray = npt.NDArray[np.float64]
+
+
+def _exact_row_sums(
+    mat: FloatArray, lengths: npt.NDArray[np.int64], extra: int
+) -> FloatArray:
+    """``out[i] = mat[i, :lengths[i]+extra].sum()`` — each row reduced at its
+    EXACT length so the pairwise-summation tree matches the sequential
+    kernel's 1D sums bit-for-bit. Rows are grouped by length; a group's
+    ``sum(axis=1)`` applies the same per-row pairwise reduction a standalone
+    contiguous 1D sum uses (empirically byte-verified in
+    tests/test_lockstep.py::test_exact_row_sums_bitwise)."""
+    out = np.empty(lengths.shape[0])
+    uniq = np.unique(lengths)
+    if uniq.shape[0] == 1:
+        out[:] = mat[: lengths.shape[0], : int(uniq[0]) + extra].sum(axis=1)
+        return out
+    for r_val in uniq:
+        rows = np.nonzero(lengths == r_val)[0]
+        out[rows] = mat[rows, : int(r_val) + extra].sum(axis=1)
+    return out
 
 
 class _Cohort:
@@ -165,37 +190,72 @@ class LockstepLinearBOCPD:
     """Batch driver with the semantics of
     BayesianLinearHeuristic(BayesianOnlineDetector(ConstantHazard(rate),
     HeuristicGaussianVsExponential(), lss, ThresholdDetector(threshold),
-    ArgmaxLocalizer()), start_after, prep).process_series per series
-    (elementwise bit-identical, reductions ulp-faithful — see the module
-    docstring for the padded-sum caveat)."""
+    ArgmaxLocalizer()), start_after, prep).process_series per series —
+    bit-identical (elementwise ops AND exact-length reductions; see the
+    module docstring).
+
+    ``model`` pins the likelihood instead of per-sample selection:
+    ``"heuristic"`` (default) | ``"gauss"`` | ``"expo"``.
+
+    ``bare=True`` drops the linear-heuristic wrapper entirely: no duplicate
+    rotation, and change points are reported as the bare detector's
+    ``t - run_length`` (no epoch offset) — the semantics of
+    ``BayesianOnlineDetector(...).process_series``. ``start_after``/``prep``
+    are ignored in bare mode."""
 
     def __init__(
         self,
         rate: float,
         learning_sample_size: int,
         threshold: float,
-        start_after: int,
-        prep: int,
+        start_after: int | None = None,
+        prep: int | None = None,
+        *,
+        model: str = "heuristic",
+        bare: bool = False,
     ) -> None:
         self.rate = float(rate)
         self.hazard = 1.0 / float(rate)
         self.lss = int(learning_sample_size)
         self.threshold = float(threshold)
-        self.start_after = int(start_after)
-        self.prep = int(prep)
-        if not self.lss < self.start_after:
-            raise ValueError("learning_sample_size must be < start_after")
+        if model not in ("heuristic", "gauss", "expo"):
+            raise ValueError("model must be heuristic|gauss|expo")
+        self.model = model
+        self.bare = bool(bare)
+        if self.bare:
+            self.start_after = None
+            self.prep = None
+        else:
+            if start_after is None or prep is None:
+                raise ValueError("start_after/prep required unless bare=True")
+            self.start_after = int(start_after)
+            self.prep = int(prep)
+            if not self.lss < self.start_after:
+                raise ValueError("learning_sample_size must be < start_after")
+        # test/debug instrumentation (no effect on results)
+        self._posterior_probe = None  # callable(lane, posterior_1d_view)
+        self._replay_collapses = 0
+        self._r1_replay_collapses = 0
 
     # -- sequential twin (ground truth; used for evacuated lanes) ----------
 
-    def _sequential(self) -> BayesianLinearHeuristic:
+    def _make_model(self):
+        if self.model == "heuristic":
+            return HeuristicGaussianVsExponential()
+        if self.model == "gauss":
+            return GaussianConjugate()
+        return ExponentialConjugate()
+
+    def _sequential(self):
         inner = lambda: BayesianOnlineDetector(  # noqa: E731
             ConstantHazard(self.rate),
-            HeuristicGaussianVsExponential(),
+            self._make_model(),
             self.lss,
             ThresholdDetector(self.threshold),
             ArgmaxLocalizer(),
         )
+        if self.bare:
+            return inner()  # process_series() self-clears per series
         return BayesianLinearHeuristic(inner, self.start_after, self.prep)
 
     # -- batch API ----------------------------------------------------------
@@ -232,7 +292,6 @@ class LockstepLinearBOCPD:
         cursor = np.zeros(L, dtype=np.int64)  # next stream position to feed
         epoch = np.zeros(L, dtype=np.int64)  # heuristic _epoch_start
         suppress = np.zeros(L, dtype=np.int64)  # replay end (threshold gate)
-        lingering = np.zeros(L, dtype=bool)  # collapse fired during replay
         active = np.zeros(L, dtype=bool)
         cohort_of = np.full(L, -1, dtype=np.int64)  # 0 gauss / 1 expo
         row_of = np.full(L, -1, dtype=np.int64)
@@ -255,8 +314,12 @@ class LockstepLinearBOCPD:
             if s0 + lss > n[lane]:
                 self._drop_lane(lane, cohorts, cohort_of, row_of, active)
                 return
-            chooser.learn(V[lane, s0 : s0 + lss])
-            chosen = chooser._chosen
+            if self.model == "heuristic":
+                chooser.learn(V[lane, s0 : s0 + lss])
+                chosen = chooser._chosen
+            else:
+                chosen = self._make_model()
+                chosen.learn(V[lane, s0 : s0 + lss])
             want = 0 if isinstance(chosen, GaussianConjugate) else 1
             old_c, old_r = int(cohort_of[lane]), int(row_of[lane])
             if old_c != -1 and (old_c != want or not active[lane]):
@@ -295,6 +358,8 @@ class LockstepLinearBOCPD:
             observations consumed while (re)training — sequential would
             create/promote a duplicate there; evacuate to stay exact.
             Fresh obs at position q has work_time q - epoch."""
+            if self.bare:
+                return False
             es = int(epoch[lane])
             for boundary in (self.start_after, self.start_after + self.prep):
                 if fresh_lo <= boundary + es < fresh_hi:
@@ -332,16 +397,19 @@ class LockstepLinearBOCPD:
                 rl = co.rl_a
                 tmp = co.s2
                 probs = co.rl_b
+                r_arr = co.r[:R]
                 # cp_mass = sum((rl*h)*pred); probs[1:] = (rl*(1-h))*pred
+                # both reductions at each row's EXACT run length — the
+                # pairwise tree then matches the sequential 1D sums bitwise
                 np.multiply(rl[:R, :w], h, out=tmp[:R, :w])
                 np.multiply(tmp[:R, :w], pred[:R, :w], out=tmp[:R, :w])
-                cp_mass = tmp[:R, :w].sum(axis=1)
+                cp_mass = _exact_row_sums(tmp, r_arr, 0)
                 np.multiply(rl[:R, :w], one_minus, out=tmp[:R, :w])
                 np.multiply(
                     tmp[:R, :w], pred[:R, :w], out=probs[:R, 1 : w + 1]
                 )
                 probs[:R, 0] = cp_mass
-                evidence = probs[:R, : w + 1].sum(axis=1)
+                evidence = _exact_row_sums(probs, r_arr, 1)
                 collapsed = evidence == 0.0
                 ok = ~collapsed
                 np.divide(
@@ -373,10 +441,23 @@ class LockstepLinearBOCPD:
                 fresh = lanes_pos >= suppress[lanes_c]
                 fired = collapsed.copy()
                 fired |= last < thr
-                fired |= lingering[lanes_c]
                 fired &= fresh
-                # replay collapse: remember, fire at first fresh obs
-                lingering[lanes_c[collapsed & ~fresh]] = True
+                # replay collapse needs NO carried flag: sequential discards
+                # its replay _fired, and for r>=2 the reset posterior keeps a
+                # trailing zero so the first fresh obs fires via last<thr in
+                # both kernels; for r==1 neither kernel fires
+                rc = collapsed & ~fresh
+                if rc.any():
+                    self._replay_collapses += int(rc.sum())
+                    self._r1_replay_collapses += int(
+                        (rc & (r_arr == 1)).sum()
+                    )
+                if self._posterior_probe is not None:
+                    for row in range(R):
+                        self._posterior_probe(
+                            int(lanes_c[row]),
+                            rl_now[row, : int(co.r[row])],
+                        )
 
                 # store LANE ids: swap-removes below invalidate row indices
                 for row in np.nonzero(fired)[0]:
@@ -385,19 +466,20 @@ class LockstepLinearBOCPD:
                 # non-fired rows advance; heuristic rotation boundary check
                 adv = ~fired
                 adv_lanes = lanes_c[adv]
-                wt = lanes_pos[adv] - epoch[adv_lanes]
-                rot = (wt == self.start_after) | (
-                    wt == self.start_after + self.prep
-                )
-                # only FRESH observations advance heuristic time; replayed
-                # ones never reach the wrapper in the sequential code
-                rot &= fresh[adv]
                 cursor[adv_lanes] += 1
-                for lane in adv_lanes[rot]:
-                    evacuated.append(int(lane))
-                    self._drop_lane(
-                        int(lane), cohorts, cohort_of, row_of, active
+                if not self.bare:
+                    wt = lanes_pos[adv] - epoch[adv_lanes]
+                    rot = (wt == self.start_after) | (
+                        wt == self.start_after + self.prep
                     )
+                    # only FRESH observations advance heuristic time;
+                    # replayed ones never reach the wrapper sequentially
+                    rot &= fresh[adv]
+                    for lane in adv_lanes[rot]:
+                        evacuated.append(int(lane))
+                        self._drop_lane(
+                            int(lane), cohorts, cohort_of, row_of, active
+                        )
                 done = adv_lanes[cursor[adv_lanes] >= n[adv_lanes]]
                 for lane in done:
                     if active[lane]:
@@ -417,10 +499,11 @@ class LockstepLinearBOCPD:
                 post = co.rl_a[row, :r_now]
                 run_length = 0 if r_now == 1 else int(np.argmax(post[:-1]))
                 cp_main = (p + 1) - run_length
-                cp = int(epoch[lane]) + cp_main
+                # bare detector reports t - run_length; the heuristic
+                # wrapper adds its epoch offset (reference semantics)
+                cp = cp_main if self.bare else int(epoch[lane]) + cp_main
                 out[lane].append(cp)
                 epoch[lane] = cp
-                lingering[lane] = False
                 s0 = p + 1 - run_length
                 suppress[lane] = p + 1
                 # fresh observations consumed while retraining: check the

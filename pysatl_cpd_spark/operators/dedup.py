@@ -329,23 +329,93 @@ def winnow_fingerprints(
     )
 
 
+SIMHASH_BITS = 120  # two 60-bit md5 halves (lo = hex[1:15], hi = hex[16:30])
+
+
 def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash per document: sign-sum of token-hash bits. Relational form:
     explode tokens → per-bit ±1 contributions → groupBy doc → sign. The
-    per-bit loop builds ``bits`` aggregate columns (JVM-side)."""
+    per-bit loop builds ``bits`` aggregate columns (JVM-side).
+
+    ``bits <= 60`` → one ``simhash`` column (low bits of md5 hex[1:15]).
+    ``bits > 60`` (cap 120) → ``simhash`` (bits 0-59, md5 hex[1:15]) plus
+    ``simhash_hi`` (bits 60.., md5 hex[16:30]) — the wide form the blocked
+    near-dup join needs for >=16-bit chunk keys at corpus scale."""
     toks = _normalized_tokens(docs, id_col, text_col)
-    hashed = toks.select("doc_id", token_hash64(F.col("token")).alias("h"))
+    nbits = min(bits, SIMHASH_BITS)
+    hashed = toks.select(
+        "doc_id",
+        token_hash64(F.col("token")).alias("h"),
+        *(
+            [
+                F.conv(F.substring(F.md5(F.col("token")), 16, 15), 16, 10)
+                .cast("long")
+                .alias("h2")
+            ]
+            if nbits > 60
+            else []
+        ),
+    )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col("h" if i < 60 else "h2"), i % 60)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(min(bits, 60))
+        for i in range(nbits)
     ]
     agg = hashed.groupBy("doc_id").agg(*bit_sums)
     sim: F.Column = F.lit(0).cast("long")
-    for i in range(min(bits, 60)):
+    for i in range(min(nbits, 60)):
         sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return agg.select("doc_id", sim.alias("simhash"))
+    cols = ["doc_id", sim.alias("simhash")]
+    if nbits > 60:
+        sim_hi: F.Column = F.lit(0).cast("long")
+        for i in range(60, nbits):
+            sim_hi = sim_hi + F.when(
+                F.col(f"b{i}") > 0, F.lit(1 << (i - 60)).cast("long")
+            ).otherwise(F.lit(0))
+        cols.append(sim_hi.alias("simhash_hi"))
+    return agg.select(*cols)
+
+
+def simhash_chunk_layout(max_hamming: int, total_bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(start, size) per blocking chunk: ``max(max_hamming + 1, 2)`` disjoint
+    chunks covering all ``total_bits``, sizes as even as possible. Pigeonhole
+    with n > max_hamming disjoint chunks guarantees >= 1 identical chunk for
+    any pair within distance ``max_hamming``, so the blocked join stays
+    EXACT. At the contract's max_hamming=6 over 120 bits the 7 chunks carry
+    17-18 bits each — >= 2^17 distinct join keys per chunk, so at 10^9 docs
+    an average bucket holds ~n/2^17 docs and the within-bucket filter is
+    O(n^2 / 2^17) per chunk instead of the old 60-bit layout's O(n^2 / 2^9)."""
+    n_chunks = max(max_hamming + 1, 2)
+    if n_chunks > total_bits:
+        raise ValueError("max_hamming too large for the simhash width")
+    base, rem = divmod(total_bits, n_chunks)
+    layout = []
+    start = 0
+    for i in range(n_chunks):
+        size = base + (1 if i < rem else 0)
+        layout.append((start, size))
+        start += size
+    return layout
+
+
+def _chunk_key(lo: F.Column, hi: F.Column, start: int, size: int) -> F.Column:
+    """Extract chunk bits [start, start+size) of the 120-bit (lo, hi) hash
+    as a bigint key; chunks spanning the 60-bit half boundary stitch the two
+    parts in-row (pure bit ops, no shuffle)."""
+    if start >= 60:
+        return F.shiftright(hi, start - 60).bitwiseAND(F.lit((1 << size) - 1))
+    if start + size <= 60:
+        return F.shiftright(lo, start).bitwiseAND(F.lit((1 << size) - 1))
+    nlo = 60 - start
+    lo_part = F.shiftright(lo, start).bitwiseAND(F.lit((1 << nlo) - 1))
+    hi_part = hi.bitwiseAND(F.lit((1 << (size - nlo)) - 1))
+    return lo_part.bitwiseOR(F.shiftleft(hi_part, nlo))
 
 
 def simhash_near_dups(
@@ -354,46 +424,57 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on
-    ``max_hamming + 1`` disjoint bit chunks (pigeonhole: distance <=
-    max_hamming over n+1 disjoint chunks ⇒ at least one chunk identical), so
-    the blocked equi-join is *exact* — identical output to the brute-force
-    all-pairs hamming filter, at bucket-join cost."""
-    sh = simhash(docs, 64, id_col, text_col)
-    n_chunks = max_hamming + 1
-    chunk_bits = -(-60 // n_chunks)  # ceil: chunks cover all 60 simhash bits
+    """Near-dup pairs by SimHash hamming distance over the FULL 120-bit
+    simhash, blocked on ``max(max_hamming + 1, 2)`` disjoint bit chunks
+    (pigeonhole: distance <= max_hamming over > max_hamming disjoint chunks
+    ⇒ at least one chunk identical), so the blocked equi-join is *exact* —
+    identical output to the brute-force all-pairs hamming filter, at
+    bucket-join cost. See ``simhash_chunk_layout`` for the per-chunk key
+    cardinality / within-bucket cost model at corpus scale."""
+    sh = simhash(docs, SIMHASH_BITS, id_col, text_col)
+    layout = simhash_chunk_layout(max_hamming)
     chunks = sh.select(
         "doc_id",
         "simhash",
+        "simhash_hi",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", chunk_bits * i)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("key"),
+                        _chunk_key(
+                            F.col("simhash"), F.col("simhash_hi"), start, size
+                        ).alias("key"),
                     )
-                    for i in range(n_chunks)
+                    for i, (start, size) in enumerate(layout)
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    ).select(
+        "doc_id",
+        "simhash",
+        "simhash_hi",
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.key").alias("key"),
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    xor_lo = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    xor_hi = F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi"))
     # keep each pair exactly once WITHOUT a distinct shuffle: a pair matching
     # in several chunks is emitted only from its lowest matching chunk index,
     # computed in-row from the xor (chunk j matches iff its xor bits are 0)
-    min_match = F.lit(n_chunks)
-    mask = (1 << chunk_bits) - 1
-    for i in reversed(range(n_chunks)):
-        chunk_zero = F.shiftright(xor, chunk_bits * i).bitwiseAND(F.lit(mask)) == 0
+    min_match = F.lit(len(layout))
+    for i, (start, size) in reversed(list(enumerate(layout))):
+        chunk_zero = _chunk_key(xor_lo, xor_hi, start, size) == 0
         min_match = F.when(chunk_zero, F.lit(i)).otherwise(min_match)
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.key") == F.col("b.key")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .filter(F.col("a.chunk") == min_match)
-        .withColumn("hamming", F.bit_count(xor).cast("long"))
+        .withColumn(
+            "hamming",
+            (F.bit_count(xor_lo) + F.bit_count(xor_hi)).cast("long"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),

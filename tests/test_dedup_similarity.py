@@ -129,33 +129,63 @@ def test_simhash_blocking_covers_hamming_4_to_6(spark):
     )
     variant = base + " quebec romeo"
     docs2 = spark.createDataFrame([(1, base), (2, variant)], "doc_id long, text string")
-    hs = {r["doc_id"]: r["simhash"] for r in simhash(docs2).collect()}
-    ham = bin(hs[1] ^ hs[2]).count("1")
-    assert 4 <= ham <= 6  # planted pair sits in the previously-dropped band
-    out = simhash_near_dups(docs2, max_hamming=6).collect()
+    hs = {
+        r["doc_id"]: (r["simhash"], r["simhash_hi"])
+        for r in simhash(docs2, bits=120).collect()
+    }
+    ham = bin(hs[1][0] ^ hs[2][0]).count("1") + bin(hs[1][1] ^ hs[2][1]).count("1")
+    assert 4 <= ham <= 12  # planted pair sits above the old-guarantee band
+    out = simhash_near_dups(docs2, max_hamming=12).collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in out] == [(1, 2, ham)]
 
 
 def test_simhash_blocking_equals_brute_force(spark):
-    """Blocked equi-join output == all-pairs hamming filter (exactness)."""
+    """Blocked equi-join output == all-pairs 120-bit hamming filter
+    (exactness), including chunks that span the 60-bit half boundary."""
     from pysatl_cpd_spark.operators.dedup import simhash
 
     docs2 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
         F.col("doc_id") < 60
     )
-    blocked = {
-        (r.doc_a, r.doc_b, r.hamming)
-        for r in simhash_near_dups(docs2, max_hamming=6).collect()
-    }
-    sh = simhash(docs2).collect()
-    brute = set()
-    for i in range(len(sh)):
-        for j in range(i + 1, len(sh)):
-            a, b = sorted([sh[i], sh[j]], key=lambda r: r.doc_id)
-            h = bin(a.simhash ^ b.simhash).count("1")
-            if h <= 6:
-                brute.add((a.doc_id, b.doc_id, h))
-    assert blocked == brute
+    for max_h in (6, 11):
+        blocked = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups(docs2, max_hamming=max_h).collect()
+        }
+        sh = simhash(docs2, bits=120).collect()
+        brute = set()
+        for i in range(len(sh)):
+            for j in range(i + 1, len(sh)):
+                a, b = sorted([sh[i], sh[j]], key=lambda r: r.doc_id)
+                h = bin(a.simhash ^ b.simhash).count("1") + bin(
+                    a.simhash_hi ^ b.simhash_hi
+                ).count("1")
+                if h <= max_h:
+                    brute.add((a.doc_id, b.doc_id, h))
+        assert blocked == brute
+
+
+def test_simhash_chunk_key_cardinality():
+    """Corpus-scale guarantee: every blocking chunk carries >= 16 bits of
+    key at the contract's max_hamming=6 (>= 2^16 distinct join keys — the
+    old 60-bit layout's 2^9 keys per chunk collapsed at 10^9 docs), the
+    layout is a disjoint cover of all 120 bits, and chunk count preserves
+    the pigeonhole exactness bound."""
+    from pysatl_cpd_spark.operators.dedup import SIMHASH_BITS, simhash_chunk_layout
+
+    layout = simhash_chunk_layout(6)
+    assert len(layout) == 7
+    assert min(size for _, size in layout) >= 16
+    # disjoint full cover
+    covered = []
+    for start, size in layout:
+        covered.extend(range(start, start + size))
+    assert covered == list(range(SIMHASH_BITS))
+    # pigeonhole bound holds for every max_hamming, incl. the 0 edge case
+    for mh in (0, 1, 3, 6, 20):
+        lay = simhash_chunk_layout(mh)
+        assert len(lay) > mh and all(1 <= s <= 60 for _, s in lay)
+        assert sum(s for _, s in lay) == SIMHASH_BITS
 
 
 def _clustered_vectors(spark, n_clusters=10, per=20, dim=16, seed=0):

@@ -199,6 +199,150 @@ def test_detect_online_lockstep_operator_parity(spark):
     assert seq == lock and len(seq) > 10
 
 
+def test_exact_row_sums_bitwise():
+    """_exact_row_sums must reproduce the sequential kernel's 1D pairwise
+    sums BYTE-for-byte at every row's exact length (incl. strided views,
+    fancy-indexed groups, and extreme magnitudes)."""
+    from pysatl_cpd_spark.detectors.lockstep import _exact_row_sums
+
+    rng = np.random.default_rng(42)
+    for _ in range(300):
+        R = int(rng.integers(1, 12))
+        cap = int(rng.integers(2, 700))
+        lengths = rng.integers(1, cap, size=R).astype(np.int64)
+        extra = int(rng.integers(0, 2))
+        mat = rng.standard_normal((R, cap)) * np.exp(
+            rng.standard_normal((R, 1)) * 40
+        )
+        got = _exact_row_sums(mat, lengths, extra)
+        for i in range(R):
+            # sequential style: contiguous slice of a scratch buffer
+            buf = np.empty(cap + 3)
+            n = int(lengths[i]) + extra
+            buf[:n] = mat[i, :n]
+            want = buf[:n].sum()
+            assert np.float64(want).tobytes() == np.float64(got[i]).tobytes()
+
+
+def test_lockstep_r1_replay_collapse():
+    """Constructed differential for the r==1 replay-collapse case: a
+    gaussian regime switches to an exponential-looking one containing small
+    negatives; after a detection the retrained EXPO model replays a negative
+    as its very first post-training observation (posterior length 1), the
+    posterior collapses during replay, and — like the sequential stack,
+    which discards replay _fired — lockstep must NOT force-fire at the next
+    fresh observation. (A lingering-flag force-fire here was a parity bug.)"""
+    rate, lss, thr, sa, prep = 50.0, 5, 0.04, 500, 250
+
+    def make_series(seed):
+        rng = np.random.default_rng(seed)
+        a = rng.normal(3.0, 2.0, 30)
+        b = rng.exponential(3.0, 40)
+        for pos in rng.choice(len(b), size=6, replace=False):
+            b[pos] = -abs(rng.normal(0.3, 0.2))
+        return np.concatenate([a, b])
+
+    inner = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(rate),
+        HeuristicGaussianVsExponential(),
+        lss,
+        ThresholdDetector(thr),
+        ArgmaxLocalizer(),
+    )
+    hit = 0
+    for seed in (219, 289, 727, 740, 872):  # pre-searched collapse seeds
+        s = make_series(seed)
+        det = LockstepLinearBOCPD(rate, lss, thr, sa, prep)
+        got = det.process_many([s])[0]
+        want = BayesianLinearHeuristic(inner, sa, prep).process_series(s)
+        assert got == want, f"seed {seed}"
+        hit += det._r1_replay_collapses
+    assert hit > 0  # the scenario genuinely occurred
+
+
+def _posterior_trace_sequential(stack_factory, values):
+    """Record every _recursion_step posterior (replay steps included) of a
+    sequential run — the 1:1 step twin of the lockstep probe for a single
+    lane (no duplicate detectors: keep series shorter than start_after)."""
+    traces = []
+    orig = BayesianOnlineDetector._recursion_step
+
+    def patched(self, observation):
+        orig(self, observation)
+        traces.append(self._rl_probs.copy())
+
+    BayesianOnlineDetector._recursion_step = patched
+    try:
+        stack_factory().process_series(np.asarray(values, dtype=np.float64))
+    finally:
+        BayesianOnlineDetector._recursion_step = orig
+    return traces
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22])
+def test_lockstep_posterior_bit_identical(seed):
+    """The FULL posterior vector after every recursion step must be
+    byte-identical between lockstep and sequential — the exact-length
+    reduction guarantee, not just cp-list equality."""
+    rng = np.random.default_rng(seed)
+    series = [
+        _gap_series(rng, 3, 30, 90),
+        _gauss_series(rng, 2)[:400],
+        np.concatenate([rng.exponential(1.0, 60), np.zeros(40)]),
+    ]
+    inner = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(RATE),
+        HeuristicGaussianVsExponential(),
+        LSS,
+        ThresholdDetector(THR),
+        ArgmaxLocalizer(),
+    )
+    for s in series:
+        s = s[:450]  # stay below start_after: no duplicate detectors
+        seq_trace = _posterior_trace_sequential(
+            lambda: BayesianLinearHeuristic(inner, START_AFTER, PREP), s
+        )
+        det = LockstepLinearBOCPD(RATE, LSS, THR, START_AFTER, PREP)
+        lock_trace = []
+        det._posterior_probe = lambda lane, post: lock_trace.append(
+            post.copy()
+        )
+        det.process_many([s])
+        assert len(seq_trace) == len(lock_trace)
+        for a, b in zip(seq_trace, lock_trace):
+            assert a.shape == b.shape
+            assert a.tobytes() == b.tobytes()
+
+
+def test_lockstep_bare_mode_parity():
+    """bare=True + pinned model == BayesianOnlineDetector(...).process_series
+    (the cpd_bocpd_online contract stack), change point for change point."""
+    from pysatl_cpd_spark.detectors import GaussianConjugate
+
+    rng = np.random.default_rng(30)
+    series = [
+        _gauss_series(rng, 3),
+        _gap_series(rng, 3),
+        np.concatenate([rng.normal(0, 1, 80), rng.normal(8, 1, 80)]),
+        np.zeros(100),
+        rng.normal(0, 1, 10),  # too short to finish training
+    ]
+    got = LockstepLinearBOCPD(
+        RATE, LSS, THR, model="gauss", bare=True
+    ).process_many(series)
+    for i, s in enumerate(series):
+        det = BayesianOnlineDetector(
+            ConstantHazard(RATE),
+            GaussianConjugate(),
+            LSS,
+            ThresholdDetector(THR),
+            ArgmaxLocalizer(),
+        )
+        assert got[i] == det.process_series(
+            np.asarray(s, dtype=np.float64)
+        ), f"series {i}"
+
+
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 
