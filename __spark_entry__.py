@@ -1056,8 +1056,13 @@ def cpd_bocpd_online(spark: SparkSession, sf_dir: str) -> DataFrame:
         model="gauss",
         bare=True,
     )
+    # one bucket per core slot: at sf0.1/local[32] that is ~47 complete
+    # series per lockstep batch (full amortization) while the sf0.01
+    # correctness gate only cares about output, not batch size
     return detect_online_lockstep(
-        _event_series(spark, sf_dir), factory, n_buckets=8
+        _event_series(spark, sf_dir),
+        factory,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -1078,7 +1083,9 @@ def cpd_linear_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         50.0, 10, 0.04, 500, 250
     )
     return detect_online_lockstep(
-        _event_series(spark, sf_dir), factory, n_buckets=8
+        _event_series(spark, sf_dir),
+        factory,
+        n_buckets=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -54,15 +54,32 @@ def token_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word tokens for candidate pairs
     sharing >= 1 token: (doc_a, doc_b, jaccard), doc_a < doc_b.
 
     Shuffle shape: explode to (doc, token), self-join on token (skew-prone on
-    stopwords — AQE skew join handles it; at 100 TB you'd also drop
-    ultra-high-df tokens first), then one groupBy on the pair.
+    stopwords — AQE skew join handles it), then one groupBy on the pair. The
+    token self-join costs O(sum_t df_t^2); a stopword with df=10^6 alone
+    contributes 10^12 candidate rows, so at corpus scale pass ``max_df``:
+    tokens appearing in more than ``max_df`` documents are removed from the
+    vocabulary BEFORE the join (both intersection and denominators use the
+    filtered token sets — standard df-pruned Jaccard), capping per-token
+    join fan-out at max_df^2. The dropped-token set has at most
+    total_token_occurrences / max_df entries — broadcastable by
+    construction — so the prune is a broadcast anti-join with no extra
+    shuffle on the corpus side.
     """
     toks = _normalized_tokens(docs, id_col, text_col)
+    if max_df is not None:
+        heavy = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("token")
+        )
+        toks = toks.join(F.broadcast(heavy), "token", "left_anti")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")

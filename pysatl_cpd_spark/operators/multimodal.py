@@ -106,6 +106,12 @@ def _try_real_decode(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         pass
+    except Exception:  # pragma: no cover - Pillow present, payload bad
+        # a corrupt/non-image payload raises UnidentifiedImageError/OSError
+        # under Pillow; fall through to the pure codec so the error surface
+        # (NotImplementedError with a stable message) is environment-
+        # independent — tests match on it in Pillow-present environments too
+        pass
     from pysatl_cpd_spark.operators.png import decode_png
 
     try:

@@ -43,7 +43,13 @@ def get_spark(
     app_name: str = "pysatl_cpd_spark",
     shuffle_partitions: int | None = None,
     driver_memory: str = "16g",
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — pass e.g.
+    ``local-cluster[4,8,12288]`` for a process-isolated multi-executor
+    stand-in (each executor its own JVM + memory arena; the closest a single
+    box gets to a real N-node cluster for scaling measurements). ``cores``
+    must still state the TOTAL core count so shuffle sizing matches."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -65,8 +71,11 @@ def get_spark(
             pkg_parent + (os.pathsep + existing if existing else "")
         )
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
+        # local-cluster executors are separate JVMs whose Python workers
+        # need the package importable; local[...] ignores this harmlessly
+        .config("spark.executorEnv.PYTHONPATH", pkg_parent)
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", _GLIBC_KEEP)
@@ -75,6 +84,10 @@ def get_spark(
         # task threads here (repeated aggregates went 3s → 20s); throughput
         # GC + moderate heap stays flat
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # separate executor JVMs (local-cluster mode) need the same GC
+        # choice — G1 degraded 3s→20s on repeated aggregates here; no-op
+        # for local[...] where tasks run in the driver JVM
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         # explicit (it is the default, but the scaling target depends on it):

@@ -43,6 +43,30 @@ def test_token_jaccard_finds_near_dup(docs):
     assert (1, 5) not in pairs
 
 
+def test_token_jaccard_max_df(spark, docs):
+    """max_df prunes only above-threshold-df tokens: a generous cap leaves
+    the contract corpus output IDENTICAL, while on a stopword-heavy
+    adversarial fixture the prune collapses the candidate pair count that
+    the unpruned O(sum df^2) self-join would produce."""
+    base = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in token_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in token_jaccard_pairs(docs, threshold=0.5, max_df=100).collect()
+    }
+    assert base == capped and base  # no token reaches df>100 → identical
+
+    # adversarial: 40 docs all sharing the stopword 'the', otherwise disjoint
+    rows = [(i, f"the unique{i} token{i} word{i}") for i in range(40)]
+    adv = spark.createDataFrame(rows, "doc_id long, text string")
+    unpruned = token_jaccard_pairs(adv, threshold=0.0).collect()
+    assert len(unpruned) == 40 * 39 // 2  # every pair joins through 'the'
+    pruned = token_jaccard_pairs(adv, threshold=0.0, max_df=5).collect()
+    assert pruned == []  # stopword dropped → no candidate pairs at all
+
+
 def test_shingles(docs):
     sh = shingles(docs.filter(F.col("doc_id") == 1), n=3).collect()
     texts = {r["shingle"] for r in sh}
@@ -559,8 +583,10 @@ def test_multimodal_real_decode_end_to_end(spark):
 
 
 def test_multimodal_real_decode_rejects_non_png(spark):
-    """Without Pillow, a non-PNG payload in the real-decode branch raises
-    NotImplementedError (surfaced by Spark as a PythonException)."""
+    """A non-PNG payload in the real-decode branch raises
+    NotImplementedError (surfaced by Spark as a PythonException) regardless
+    of environment: without Pillow the pure codec rejects it; with Pillow a
+    decode failure falls through to the same pure-codec rejection path."""
     import pytest
 
     from pysatl_cpd_spark.operators.multimodal import (

@@ -1,0 +1,121 @@
+"""Contract-surface freezes: the driver consumes __spark_entry__.py and
+deployments consume dist/pysatl_cpd_spark.zip — both must stay exactly in
+step with the working tree."""
+
+import os
+import zipfile
+
+import __spark_entry__ as entry_mod
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The driver's correctness gate checks the FIRST 50 queries() entries. This
+# ordering was curated in round 4 so the flagship and every detector sits
+# inside the window; a careless insert above slot 50 silently evicts one.
+# Any change to this list must be deliberate: re-pin the golden below AND
+# re-check that everything evicted is genuinely subsumed by a checked entry.
+DRIVER_WINDOW_GOLDEN = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "customers_without_orders",
+    "events_rollup_tiers",
+    "events_rollup_hierarchy",
+    "events_sessionize",
+    "top_events_per_user",
+    "cusum_scores",
+    "rollup_retention",
+    "events_pivot",
+    "events_gapfill",
+    "asof_join",
+    "lang_id_docs",
+    "stopword_quality",
+    "text_quality",
+    "dedup_exact",
+    "shingle_jaccard",
+    "embeddings_cosine_topk",
+    "cpd_confusion",
+    "scrubber_windows",
+    "gorilla_roundtrip",
+    "cpd_bocpd_offline",
+    "cpd_bocpd_online",
+    "cpd_linear_heuristic",
+    "cpd_cusum_localized",
+    "cpd_classification",
+    "cpd_knn",
+    "cpd_knn_multivariate",
+    "cpd_graph",
+    "cpd_kliep",
+    "cpd_rulsif",
+    "cpd_detect_counts",
+    "minhash_lsh_pairs",
+    "ngram_contamination",
+    "simhash_pairs",
+    "dedup_clusters",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "embedding_near_dups",
+    "ann_recall",
+    "bpe_token_counts",
+    "winnow_fingerprints",
+    "rollup_distinct_daily",
+    "rollup_quantiles_daily",
+    "theta_user_overlap",
+    "multimodal_features",
+    "transcripts_cpd_rollup",
+    "transcripts_segment_gapfill",
+    "transcripts_tool_rate",
+]
+
+
+def test_driver_window_frozen():
+    """The first 50 queries() keys equal the checked-in golden, in order."""
+    keys = list(entry_mod.queries().keys())
+    assert keys[:50] == DRIVER_WINDOW_GOLDEN
+
+
+def test_every_query_has_oracle_or_is_known_rows_only():
+    """Every queries() entry either has an oracle_sql() twin (full
+    rows+schema+hash gate) or is on the explicit rows-only list — no query
+    silently loses its value check."""
+    queries = set(entry_mod.queries().keys())
+    oracles = set(entry_mod.oracle_sql().keys())
+    assert oracles <= queries  # no orphan oracles
+    rows_only = queries - oracles
+    # non-SQL-expressible ops only (stateful/iterative detectors whose
+    # VALUES transcription oracles degrade when sf0.01 parquet is absent)
+    allowed_rows_only = {
+        "cpd_classification",
+        "cpd_knn",
+        "cpd_knn_multivariate",
+        "cpd_kliep",
+        "cpd_rulsif",
+    }
+    assert rows_only <= allowed_rows_only, rows_only
+
+
+def test_dist_zip_matches_working_tree():
+    """dist/pysatl_cpd_spark.zip (the spark-submit --py-files artifact) must
+    contain EVERY package .py at the working tree's exact bytes — a stale
+    zip ships known-fixed bugs. Rebuild with scripts/make_pyfiles.py."""
+    zip_path = os.path.join(ROOT, "dist", "pysatl_cpd_spark.zip")
+    assert os.path.exists(zip_path), "run scripts/make_pyfiles.py"
+    pkg = os.path.join(ROOT, "pysatl_cpd_spark")
+    tree = {}
+    for dirpath, _, files in os.walk(pkg):
+        if "__pycache__" in dirpath:
+            continue
+        for name in files:
+            if name.endswith(".py"):
+                full = os.path.join(dirpath, name)
+                tree[os.path.relpath(full, ROOT)] = full
+    with zipfile.ZipFile(zip_path) as zf:
+        members = {n for n in zf.namelist() if n.endswith(".py")}
+        missing = set(tree) - members
+        assert not missing, f"stale zip, missing: {sorted(missing)}"
+        stale = [
+            rel
+            for rel, full in sorted(tree.items())
+            if zf.read(rel) != open(full, "rb").read()
+        ]
+        assert not stale, f"stale zip members: {stale}"

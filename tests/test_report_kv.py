@@ -59,3 +59,28 @@ def test_visualize_svg(tmp_path):
     # out-of-range change points are clipped, empty series still renders
     empty = render_series_svg([], detected=[3])
     assert empty.startswith("<svg") and "polyline" not in empty
+
+
+def test_localization_report_golden():
+    """Byte-exact goldens from reference tests/test_solver.py:113-134."""
+    from pysatl_cpd_spark.operators.report import localization_report
+
+    assert (
+        localization_report([1, 2, 3], [2, 3, 4], 10)
+        == """Located change points: (1;2;3)
+Expected change point: (2;3;4)
+Difference: (1;4)
+Computation time (sec): 10"""
+    )
+    assert (
+        localization_report([1, 2, 3, 6, 8], [2, 3, 4, 6], 20)
+        == """Located change points: (1;2;3;6;8)
+Expected change point: (2;3;4;6)
+Difference: (1;4;8)
+Computation time (sec): 20"""
+    )
+    assert (
+        localization_report([1, 2, 3], None, 5)
+        == """Located change points: (1;2;3)
+Computation time (sec): 5"""
+    )

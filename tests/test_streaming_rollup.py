@@ -392,6 +392,104 @@ def test_streaming_topk_tier_matches_batch_and_merges(spark, tmp_path):
         ]
 
 
+def _run_two_batch_stream(spark, tmp_path, name, schema, make_out, b1, b2):
+    """Shared late-data harness: play batch 1 (advances the watermark), then
+    batch 2 (carries rows older than the watermark), return the memory-sink
+    table name. Mirrors test_streaming_rollup_drops_late_data."""
+    import time
+
+    in_dir = tmp_path / f"{name}_in"
+    in_dir.mkdir()
+
+    def write_batch(bname, rows):
+        pdf = pd.DataFrame(rows, columns=[f.split()[0] for f in schema.split(", ")])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(str(in_dir / f"{bname}.parquet"))
+
+    write_batch("b1", b1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        make_out(stream)
+        .writeStream.format("memory")
+        .queryName(f"{name}_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    write_batch("b2", b2)
+    time.sleep(1)
+    q.processAllAvailable()
+    q.stop()
+    return f"{name}_out"
+
+
+def test_streaming_topk_drops_late_data(spark, tmp_path):
+    """Watermark semantics for the Misra-Gries topk tier: a late item for a
+    finalized bucket must not enter that bucket's summary (same late/out-of-
+    order fixture as the basic tier test)."""
+    from pysatl_cpd_spark.streaming.rollup import streaming_rollup_topk
+
+    tbl = _run_two_batch_stream(
+        spark,
+        tmp_path,
+        "topk_late",
+        "key string, ts timestamp, event_type string",
+        lambda s: streaming_rollup_topk(s, "1m", ["key"], k=4),
+        # bucket 10:00: a x2, b x1; then event time jumps to 13:00
+        [
+            ("a", "2024-01-01 10:00:05", "click"),
+            ("a", "2024-01-01 10:00:20", "click"),
+            ("a", "2024-01-01 10:00:30", "view"),
+            ("a", "2024-01-01 13:00:00", "scroll"),
+        ],
+        # 2h-late burst for the finalized 10:00 bucket: would flip the top-1
+        [("a", "2024-01-01 10:00:40", "purchase")] * 5,
+    )
+    got = spark.sql(
+        f"SELECT * FROM {tbl} WHERE bucket = timestamp'2024-01-01 10:00:00'"
+    ).collect()
+    assert len(got) == 1
+    top = [(s.cnt, s.item) for s in got[0].topk]
+    assert got[0].n_points == 3 and top == [(2, "click"), (1, "view")]
+    assert all(item != "purchase" for _, item in top)  # late burst dropped
+
+
+def test_streaming_quantiles_drop_late_data(spark, tmp_path):
+    """Watermark semantics for the KLL quantile tier: a late extreme value
+    for a finalized bucket must not move that bucket's sketch quantiles."""
+    from pysatl_cpd_spark.streaming.rollup import streaming_rollup_quantiles
+
+    tbl = _run_two_batch_stream(
+        spark,
+        tmp_path,
+        "kll_late",
+        "key string, ts timestamp, value double",
+        lambda s: streaming_rollup_quantiles(s, "1m", ["key"]),
+        [
+            ("a", "2024-01-01 10:00:05", 1.0),
+            ("a", "2024-01-01 10:00:20", 2.0),
+            ("a", "2024-01-01 10:00:30", 3.0),
+            ("a", "2024-01-01 13:00:00", 9.0),
+        ],
+        # 2h-late outlier that would drag the max/median upward
+        [("a", "2024-01-01 10:00:40", 1000.0)],
+    )
+    got = spark.sql(
+        f"""SELECT n_points,
+                   kll_sketch_get_quantile_double(q_sketch, 0.5) AS p50,
+                   kll_sketch_get_quantile_double(q_sketch, 1.0) AS hi
+            FROM {tbl} WHERE bucket = timestamp'2024-01-01 10:00:00'"""
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_points == 3 and r.p50 == 2.0 and r.hi == 3.0  # outlier dropped
+
+
 def test_topk_merge_with_empty_child_summary(spark):
     """Regression (code review r4): a child bucket whose truncation emptied
     its topk (all kept counters tied with the (k+1)-th) must contribute its
