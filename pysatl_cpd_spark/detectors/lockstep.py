@@ -75,23 +75,48 @@ from pysatl_cpd_spark.detectors.special import _quiet_fp
 FloatArray = npt.NDArray[np.float64]
 
 
+def _row_length_groups(
+    lengths: npt.NDArray[np.int64],
+) -> list[tuple[int, npt.NDArray[np.intp]]]:
+    """Partition row indices by length with ONE argsort + boundary scan —
+    the grouping is computed once per lockstep step and shared by both
+    per-step reductions (cp_mass, evidence)."""
+    order = np.argsort(lengths, kind="stable")
+    sl = lengths[order]
+    bounds = np.flatnonzero(sl[1:] != sl[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [lengths.shape[0]]))
+    return [(int(sl[s]), order[s:e]) for s, e in zip(starts, ends)]
+
+
+def _exact_row_sums_grouped(
+    mat: FloatArray,
+    groups: list[tuple[int, npt.NDArray[np.intp]]],
+    extra: int,
+    R: int,
+    out: FloatArray,
+) -> None:
+    """``out[i] = mat[i, :lengths[i]+extra].sum()`` — each row reduced at its
+    EXACT length so the pairwise-summation tree matches the sequential
+    kernel's 1D sums bit-for-bit. A group's ``sum(axis=1)`` applies the same
+    per-row pairwise reduction a standalone contiguous 1D sum uses
+    (empirically byte-verified in
+    tests/test_lockstep.py::test_exact_row_sums_bitwise)."""
+    for l, rows in groups:
+        if rows.shape[0] == R:  # single group: strided view, no gather copy
+            out[:R] = mat[:R, : l + extra].sum(axis=1)
+        else:
+            out[rows] = mat[rows, : l + extra].sum(axis=1)
+
+
 def _exact_row_sums(
     mat: FloatArray, lengths: npt.NDArray[np.int64], extra: int
 ) -> FloatArray:
-    """``out[i] = mat[i, :lengths[i]+extra].sum()`` — each row reduced at its
-    EXACT length so the pairwise-summation tree matches the sequential
-    kernel's 1D sums bit-for-bit. Rows are grouped by length; a group's
-    ``sum(axis=1)`` applies the same per-row pairwise reduction a standalone
-    contiguous 1D sum uses (empirically byte-verified in
-    tests/test_lockstep.py::test_exact_row_sums_bitwise)."""
+    """Convenience wrapper (tests): grouped exact-length row sums."""
     out = np.empty(lengths.shape[0])
-    uniq = np.unique(lengths)
-    if uniq.shape[0] == 1:
-        out[:] = mat[: lengths.shape[0], : int(uniq[0]) + extra].sum(axis=1)
-        return out
-    for r_val in uniq:
-        rows = np.nonzero(lengths == r_val)[0]
-        out[rows] = mat[rows, : int(r_val) + extra].sum(axis=1)
+    _exact_row_sums_grouped(
+        mat, _row_length_groups(lengths), extra, lengths.shape[0], out
+    )
     return out
 
 
@@ -400,16 +425,20 @@ class LockstepLinearBOCPD:
                 r_arr = co.r[:R]
                 # cp_mass = sum((rl*h)*pred); probs[1:] = (rl*(1-h))*pred
                 # both reductions at each row's EXACT run length — the
-                # pairwise tree then matches the sequential 1D sums bitwise
+                # pairwise tree then matches the sequential 1D sums bitwise;
+                # one shared length-grouping serves both reductions
+                groups = _row_length_groups(r_arr)
+                cp_mass = np.empty(R)
+                evidence = np.empty(R)
                 np.multiply(rl[:R, :w], h, out=tmp[:R, :w])
                 np.multiply(tmp[:R, :w], pred[:R, :w], out=tmp[:R, :w])
-                cp_mass = _exact_row_sums(tmp, r_arr, 0)
+                _exact_row_sums_grouped(tmp, groups, 0, R, cp_mass)
                 np.multiply(rl[:R, :w], one_minus, out=tmp[:R, :w])
                 np.multiply(
                     tmp[:R, :w], pred[:R, :w], out=probs[:R, 1 : w + 1]
                 )
                 probs[:R, 0] = cp_mass
-                evidence = _exact_row_sums(probs, r_arr, 1)
+                _exact_row_sums_grouped(probs, groups, 1, R, evidence)
                 collapsed = evidence == 0.0
                 ok = ~collapsed
                 np.divide(

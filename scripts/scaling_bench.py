@@ -145,8 +145,8 @@ def wave(nproc):
             best = min(best, time.perf_counter() - t0)
         return best
 
-out = {n: wave(n) for n in (2, 8, 32)}
-print(json.dumps({str(k): round(v, 4) for k, v in out.items()}))
+n = int(sys.argv[1])
+print(json.dumps({str(n): round(wave(n), 4)}))
 """
 
 
@@ -186,32 +186,47 @@ def main() -> None:
         }
         return cur
 
+    # hardware ceiling: identical cache-resident numpy work, pure
+    # multiprocessing (no Spark). On this VM per-core speed drops as cores
+    # engage (frequency/bandwidth), capping ANY software's N→4N efficiency;
+    # normalizing by it separates engine scaling from box physics. A real
+    # 4N-executor cluster adds sockets, not sibling cores. The probe runs
+    # ADJACENT to every engine run at the same core count (this VM's ±40%
+    # noise phases last minutes — an end-of-script probe can catch a
+    # different phase than the runs it normalizes), min-merged per level to
+    # pair best-case engine time with best-case ceiling.
+    waves: dict[str, float] = {}
+
+    def run_ceiling(n: int) -> None:
+        out = subprocess.run(
+            [sys.executable, "-c", CEILING, str(n)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        v = json.loads(
+            [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        )[str(n)]
+        waves[str(n)] = min(waves.get(str(n), 1e9), v)
+
     results[2] = run_level(2)
+    run_ceiling(2)
     for _ in range(reps):
         for cores in (8, 32):
             results[cores] = merge_min(results.get(cores), run_level(cores))
+            run_ceiling(cores)
 
     # PROCESS-ISOLATED N→4N pair (north-rule evidence): 1 executor × 8 cores
     # vs 4 executors × 8 cores, each executor a separate JVM with its own
-    # 12 GiB arena — the closest a single box gets to the two-cluster-size
+    # 24 GiB arena — the closest a single box gets to the two-cluster-size
     # comparison the rule asks for. Interleaved min-of-reps like the
     # same-JVM pair (this VM has multi-minute ±40% noise phases).
     iso: dict[int, dict] = {}
     for _ in range(reps):
         iso[8] = merge_min(iso.get(8), run_level(8, "local-cluster[1,8,24576]"))
+        run_ceiling(8)
         iso[32] = merge_min(iso.get(32), run_level(32, "local-cluster[4,8,24576]"))
-
-    # hardware ceiling: identical cache-resident numpy work, one wave per
-    # core count, pure multiprocessing (no Spark). On this VM per-core speed
-    # drops as cores engage (frequency/bandwidth), capping ANY software's
-    # N→4N efficiency; normalizing by it separates engine scaling from box
-    # physics. A real 4N-executor cluster adds sockets, not sibling cores.
-    ceil_out = subprocess.run(
-        [sys.executable, "-c", CEILING], capture_output=True, text=True, check=True
-    )
-    waves = json.loads(
-        [ln for ln in ceil_out.stdout.splitlines() if ln.startswith("{")][-1]
-    )
+        run_ceiling(32)
 
     result = {
         "job": "CPD-adaptive rollup over pre-materialized series (detect→encode→tiers)",
