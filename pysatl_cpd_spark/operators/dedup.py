@@ -15,6 +15,21 @@ from pysatl_cpd_spark.functions.text import fingerprint, token_hash64
 _MERSENNE = (1 << 31) - 1  # int64-safe: (h mod p) * a < 2^62
 
 
+def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
+    """Persist an intermediate that the downstream plan references from
+    MULTIPLE subplans (self-join sides, size joins): Spark plans each
+    reference as an independent subplan — no exchange reuse through alias
+    pairs — so without the cache the expensive derivation runs once per
+    reference. MEMORY_AND_DISK, LRU-evicted; at true corpus scale these
+    intermediates (signatures, shingle sets, simhashes) are materialized as
+    first-class lake assets instead."""
+    if not flag:
+        return df
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _normalized_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) distinct word tokens of the normalized text."""
     squeezed = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
@@ -55,6 +70,7 @@ def token_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_df: int | None = None,
+    cache_tokens: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word tokens for candidate pairs
     sharing >= 1 token: (doc_a, doc_b, jaccard), doc_a < doc_b.
@@ -80,6 +96,7 @@ def token_jaccard_pairs(
             .select("token")
         )
         toks = toks.join(F.broadcast(heavy), "token", "left_anti")
+    toks = _maybe_persist(toks, cache_tokens)  # 4 plan references (a, b, 2x sizes)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -112,6 +129,7 @@ def shingle_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingles. Shingles are far more
     selective than single tokens (the 31-token synthetic corpus makes a
@@ -121,9 +139,12 @@ def shingle_jaccard_pairs(
     # join on the portable 60-bit md5 hash of the shingle, not the string:
     # an 8-byte shuffle key instead of a ~20-byte string. The SQL oracle
     # hashes identically, so even the (~1e-7) collision behavior matches.
-    sh = shingles(docs, n, id_col, text_col).select(
-        "doc_id", token_hash64(F.col("shingle")).alias("sh")
-    ).distinct()
+    sh = _maybe_persist(
+        shingles(docs, n, id_col, text_col)
+        .select("doc_id", token_hash64(F.col("shingle")).alias("sh"))
+        .distinct(),
+        cache_shingles,  # 4 plan references (a, b, 2x sizes)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -237,6 +258,7 @@ def minhash_lsh_candidates(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """LSH near-dup candidates: band the signature, bucket-join on
     (band, band-hash), emit distinct candidate pairs with estimated Jaccard
@@ -245,8 +267,11 @@ def minhash_lsh_candidates(
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
-        shingles(docs, shingle_n, id_col, text_col), num_hashes, seed
+    sig = _maybe_persist(
+        minhash_signatures(
+            shingles(docs, shingle_n, id_col, text_col), num_hashes, seed
+        ),
+        cache_signatures,  # both banded self-join sides derive from sig
     )
     # band bucket = md5 of the comma-joined band values: portable (DuckDB
     # computes the identical key), unlike Spark-internal murmur F.hash
@@ -440,6 +465,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_simhash: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance over the FULL 120-bit
     simhash, blocked on ``max(max_hamming + 1, 2)`` disjoint bit chunks
@@ -447,8 +473,16 @@ def simhash_near_dups(
     ⇒ at least one chunk identical), so the blocked equi-join is *exact* —
     identical output to the brute-force all-pairs hamming filter, at
     bucket-join cost. See ``simhash_chunk_layout`` for the per-chunk key
-    cardinality / within-bucket cost model at corpus scale."""
-    sh = simhash(docs, SIMHASH_BITS, id_col, text_col)
+    cardinality / within-bucket cost model at corpus scale.
+
+    ``cache_simhash`` persists the per-doc simhash table before the
+    self-join: Spark plans the two join sides as independent subplans (no
+    exchange reuse through the alias pair), so without the cache the
+    120-aggregate-column sign-sum — the expensive stage — runs TWICE
+    (measured 4.8 s -> 3.9 s at sf0.1, interleaved). The cached frame is
+    ~32 bytes/doc (MEMORY_AND_DISK, LRU-evicted); at true corpus scale
+    you'd materialize the simhash table as a first-class asset instead."""
+    sh = _maybe_persist(simhash(docs, SIMHASH_BITS, id_col, text_col), cache_simhash)
     layout = simhash_chunk_layout(max_hamming)
     chunks = sh.select(
         "doc_id",
