@@ -566,6 +566,44 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
 """
 
 
+def token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact df-pruned token Jaccard (operators/dedup.token_jaccard_pairs
+    with max_df): tokens in more than 50 documents are dropped before the
+    self-join — the corpus-scale stopword guard — and the oracle applies the
+    identical prune."""
+    from pysatl_cpd_spark.operators.dedup import token_jaccard_pairs
+
+    return token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, max_df=50
+    ).select("doc_a", "doc_b", F.round("jaccard", 9).alias("jaccard"))
+
+
+TOKEN_JACCARD_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t(token)
+  WHERE length(t.token) > 0
+), df AS (
+  SELECT token, count(*) AS df FROM toks GROUP BY token
+), kept AS (
+  SELECT t.doc_id, t.token FROM toks t JOIN df ON t.token = df.token WHERE df.df <= 50
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM kept a JOIN kept b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 9) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.6
+"""
+
+
 def embeddings_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for query vectors vec_id < 10, integer-scaled dot
     products so both engines sum exactly."""
@@ -2284,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "event_user_set_ops": event_user_set_ops,
         "rollup_topk_daily": rollup_topk_daily,
+        "token_jaccard": token_jaccard,
     }
 
 
@@ -2390,6 +2429,7 @@ def _oracle_sql_static() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "text_quality": TEXT_QUALITY_SQL,
         "shingle_jaccard": JACCARD_SQL,
+        "token_jaccard": TOKEN_JACCARD_SQL,
         "embeddings_cosine_topk": COSINE_SQL,
         "minhash_signatures": _minhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),

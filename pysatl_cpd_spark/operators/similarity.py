@@ -304,19 +304,27 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     quantize_scale: int | None = None,
     round_digits: int | None = None,
+    cache_buckets: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked corpus×corpus.
     ``quantize_scale`` switches to exact integer bucket/cosine arithmetic;
     ``round_digits`` rounds the cosine *before* the threshold filter so the
-    SQL oracle's filter sees identical values."""
+    SQL oracle's filter sees identical values. ``cache_buckets`` persists
+    the bucketed corpus so the self-join's two sides don't each recompute
+    the n_planes-projection over every embedding (see dedup._maybe_persist)."""
     assert dim is not None, "pass the embedding dimension"
-    b = lsh_bucket(
-        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")),
-        dim,
-        n_planes,
-        seed=7,
-        vec_col="vec",
-        quantize_scale=quantize_scale,
+    from pysatl_cpd_spark.operators.dedup import _maybe_persist
+
+    b = _maybe_persist(
+        lsh_bucket(
+            corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")),
+            dim,
+            n_planes,
+            seed=7,
+            vec_col="vec",
+            quantize_scale=quantize_scale,
+        ),
+        cache_buckets,
     )
     if quantize_scale:
         cosine = _cosine_int(
