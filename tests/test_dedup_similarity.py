@@ -67,6 +67,17 @@ def test_token_jaccard_max_df(spark, docs):
     assert pruned == []  # stopword dropped → no candidate pairs at all
 
 
+def test_token_jaccard_max_df_plan_broadcasts(spark, docs):
+    """Scale law: the df-prune must reach the plan as a BROADCAST anti-join
+    (the heavy-token set is small by construction) — a shuffled anti-join
+    here would re-shuffle the whole corpus just to drop stopwords."""
+    plan = token_jaccard_pairs(
+        docs, threshold=0.5, max_df=5, cache_tokens=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
 def test_shingles(docs):
     sh = shingles(docs.filter(F.col("doc_id") == 1), n=3).collect()
     texts = {r["shingle"] for r in sh}

@@ -381,3 +381,26 @@ def test_lockstep_hypothesis_parity(series):
     got = _lockstep(series)
     for i, s in enumerate(series):
         assert got[i] == _sequential_cps(s), f"series {i} len {len(s)}"
+
+
+@settings(max_examples=20, deadline=None)
+@given(_series_batch())
+def test_lockstep_bare_hypothesis_parity(series):
+    """Property for the PROMOTED contract stack (bare mode, pinned
+    Gaussian — cpd_bocpd_online's kernel): lockstep == bare sequential
+    detector on arbitrary adversarial batches."""
+    from pysatl_cpd_spark.detectors import GaussianConjugate
+
+    got = LockstepLinearBOCPD(
+        RATE, LSS, THR, model="gauss", bare=True
+    ).process_many(series)
+    for i, s in enumerate(series):
+        det = BayesianOnlineDetector(
+            ConstantHazard(RATE),
+            GaussianConjugate(),
+            LSS,
+            ThresholdDetector(THR),
+            ArgmaxLocalizer(),
+        )
+        want = det.process_series(np.asarray(s, dtype=np.float64))
+        assert got[i] == want, f"series {i} len {len(s)}"
