@@ -129,6 +129,7 @@ def lsh_cosine_topk(
     quantize_scale: int | None = None,
     round_digits: int | None = None,
     n_tables: int = 1,
+    cache_corpus: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ANY of
     ``n_tables`` independent hash tables (table i uses seed+i), exact cosine
@@ -137,9 +138,22 @@ def lsh_cosine_topk(
     vectors: 1 table × 10 planes ≈ 0 recall; 4 × 4 → 0.48 recall at 24% of
     brute-force pairs; 8 × 4 → 0.66 at 42%. Every table is still a bucket
     equi-join (never a cross join). ``quantize_scale`` makes bucket + rerank
-    exact integer arithmetic so a SQL oracle reproduces results bit-for-bit."""
-    c_base = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    q_base = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    exact integer arithmetic so a SQL oracle reproduces results bit-for-bit.
+
+    ``cache_corpus`` persists the column-pruned (id, vec) projections: the
+    plan otherwise re-scans the corpus n_tables times for bucketing plus
+    once for the rerank join (each table's plane projection must differ,
+    but the scan underneath need not repeat)."""
+    from pysatl_cpd_spark.operators.dedup import _maybe_persist
+
+    c_base = _maybe_persist(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        cache_corpus and n_tables > 1,
+    )
+    q_base = _maybe_persist(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        cache_corpus and n_tables > 1,
+    )
     cand_frames = []
     for ti in range(n_tables):
         c = lsh_bucket(c_base, dim, n_planes, seed + ti, "cvec", quantize_scale)
