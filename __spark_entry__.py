@@ -1128,11 +1128,13 @@ def cpd_linear_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cpd_cusum_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pysatl_cpd_spark.detectors import CusumDetector
-    from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.detectors import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import detect_offline_lockstep
 
-    return detect_offline(
-        _event_series(spark, sf_dir), lambda: CusumDetector(k=2.0, h=20.0)
+    # batched CUSUM kernel — bit-identical to the sequential CusumDetector
+    # (tests/test_lockstep_cusum.py), ~3x per core at this series shape
+    return detect_offline_lockstep(
+        _event_series(spark, sf_dir), lambda: LockstepCusum(k=2.0, h=20.0)
     )
 
 
@@ -2058,8 +2060,8 @@ def transcripts_cpd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: synthesize transcripts deterministically, detect turn-rate
     change points per conversation, Gorilla-encode the segments between them,
     and return per-segment summaries. (No external input — seeded.)"""
-    from pysatl_cpd_spark.detectors import CusumDetector
-    from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.detectors import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import detect_offline_lockstep
     from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
     from pysatl_cpd_spark.operators.series import turn_rate_series
     from pysatl_cpd_spark.sources.transcripts import transcripts_table
@@ -2070,10 +2072,12 @@ def transcripts_cpd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = turn_rate_series(tr).cache()
     # JVM CUSUM pre-filter: the window-function twin of the detector's first
     # pass — only series it flags can produce change points (exact gate), so
-    # the pandas-UDF localization runs on the alarmed subset only.
+    # the pandas-UDF localization runs on the alarmed subset only; the
+    # localization itself is the batched lockstep kernel (bit-identical to
+    # the sequential CusumDetector, tests/test_lockstep_cusum.py)
     alarmed = cusum_prefilter(series, k=0.05, h=2.0)
     gated = series.join(F.broadcast(alarmed), "series_id", "left_semi")
-    cps = detect_offline(gated, lambda: CusumDetector(k=0.05, h=2.0))
+    cps = detect_offline_lockstep(gated, lambda: LockstepCusum(k=0.05, h=2.0))
     return encode_segments_adaptive(series, cps).select(
         "series_id",
         "segment_id",
@@ -2097,8 +2101,8 @@ def transcripts_segment_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns are excluded from the rate series (they carry no conversational
     latency), so the turn grid has REAL holes at their indices and the fill
     columns are exercised, not vacuous."""
-    from pysatl_cpd_spark.detectors import CusumDetector
-    from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.detectors import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import detect_offline_lockstep
     from pysatl_cpd_spark.operators.cusum import cusum_prefilter
     from pysatl_cpd_spark.operators.gapfill import segment_gapfill_turns
     from pysatl_cpd_spark.operators.series import turn_rate_series
@@ -2108,7 +2112,7 @@ def transcripts_segment_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = turn_rate_series(tr.filter(F.col("role") != "tool")).cache()
     alarmed = cusum_prefilter(series, k=0.05, h=2.0)
     gated = series.join(F.broadcast(alarmed), "series_id", "left_semi")
-    cps = detect_offline(gated, lambda: CusumDetector(k=0.05, h=2.0))
+    cps = detect_offline_lockstep(gated, lambda: LockstepCusum(k=0.05, h=2.0))
     out = segment_gapfill_turns(series, cps)
     return out.select(
         "series_id",
@@ -2227,8 +2231,8 @@ def entry(spark: SparkSession) -> DataFrame:
     series (detect CPs JVM-side via CUSUM scores, segment, Gorilla-encode,
     summarize)."""
     sf_dir = "/root/testdata/sf0.001"
-    from pysatl_cpd_spark.detectors import CusumDetector
-    from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.detectors import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import detect_offline_lockstep
     from pysatl_cpd_spark.operators.cusum import cusum_prefilter
     from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
     from pysatl_cpd_spark.operators.series import events_series
@@ -2236,7 +2240,7 @@ def entry(spark: SparkSession) -> DataFrame:
     series = events_series(_t(spark, sf_dir, "events")).cache()
     alarmed = cusum_prefilter(series, k=2.0, h=20.0)
     gated = series.join(F.broadcast(alarmed), "series_id", "left_semi")
-    cps = detect_offline(gated, lambda: CusumDetector(k=2.0, h=20.0))
+    cps = detect_offline_lockstep(gated, lambda: LockstepCusum(k=2.0, h=20.0))
     return encode_segments_adaptive(series, cps).drop("blob")
 
 

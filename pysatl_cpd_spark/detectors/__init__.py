@@ -27,7 +27,11 @@ from pysatl_cpd_spark.detectors.likelihoods import (
 from pysatl_cpd_spark.detectors.bayesian_offline import BayesianOffline
 from pysatl_cpd_spark.detectors.bayesian_online import BayesianOnlineDetector
 from pysatl_cpd_spark.detectors.linear_heuristic import BayesianLinearHeuristic
-from pysatl_cpd_spark.detectors.cusum import CusumDetector, cusum_stat
+from pysatl_cpd_spark.detectors.cusum import (
+    CusumDetector,
+    LockstepCusum,
+    cusum_stat,
+)
 
 __all__ = [
     "ArgmaxLocalizer",
@@ -41,6 +45,7 @@ __all__ = [
     "Gaussian",
     "GaussianConjugate",
     "HeuristicGaussianVsExponential",
+    "LockstepCusum",
     "ThresholdDetector",
     "cusum_stat",
 ]

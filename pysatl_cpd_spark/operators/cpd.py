@@ -209,6 +209,20 @@ def detect_online_lockstep(
     return bucketed.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
 
 
+def detect_offline_lockstep(
+    series_df: DataFrame,
+    lockstep_factory: "Callable[[], object]",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Offline twin of ``detect_online_lockstep``: the kernel contract is the
+    same ``process_many(list[np.ndarray]) -> list[list[int]]`` over complete
+    series either way (offline kernels see the whole series at once, which is
+    exactly what the lockstep dispatch delivers), so this is the identical
+    salted-bucket grouped-map plan. Use with ``LockstepCusum`` for the
+    bit-identical batched ``CusumDetector`` path (detectors/cusum.py §3)."""
+    return detect_online_lockstep(series_df, lockstep_factory, n_buckets)
+
+
 def detect_online_instrumented(
     series_df: DataFrame,
     algorithm_factory: Callable[[], SeriesAlgorithm],
