@@ -140,17 +140,24 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     rerun_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "180"))
     total0 = time.perf_counter()
+    # every rep of every query is KEPT (not just the min): the emitted
+    # per-query min/median/max spread is what lets a round-over-round delta
+    # be classified as noise vs regression from the artifact alone — this
+    # VM's ±40% noise phases make a bare min ambiguous across rounds
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for name in HEADLINE:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        raw[name].append(time.perf_counter() - t0)
     for _ in range(reps - 1):
         for name in HEADLINE:
             if time.perf_counter() - total0 > rerun_budget:
                 break
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
-            timings[name] = round(min(timings[name], time.perf_counter() - t0), 3)
+            raw[name].append(time.perf_counter() - t0)
+    for name in HEADLINE:
+        timings[name] = round(min(raw[name]), 3)
 
     # warm the grouped-UDF path (python workers, Arrow codecs, JIT) so the
     # flagship number measures steady-state throughput, not process startup
@@ -211,7 +218,23 @@ def main() -> None:
         samples.append(run_flagship(spark, n_convs, avg_turns)[0])
     flagship_sec = min(samples)
     timings["transcripts_cpd_rollup"] = round(flagship_sec, 3)
+    raw["transcripts_cpd_rollup"] = samples
+    if scale_samples:
+        raw["flagship_at_scale"] = scale_samples
     total = time.perf_counter() - total0
+
+    def _spread(vals: list[float]) -> dict:
+        s = sorted(vals)
+        mid = len(s) // 2
+        med = s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
+        return {
+            "min": round(s[0], 3),
+            "med": round(med, 3),
+            "max": round(s[-1], 3),
+            "n": len(s),
+        }
+
+    spread = {name: _spread(vals) for name, vals in raw.items() if vals}
 
     # headline value = sum of per-query min-of-N timings: invariant to the
     # rep count (raw wall time doubles with SPARK_GRAFT_BENCH_REPS=2, which
@@ -229,6 +252,9 @@ def main() -> None:
                 "flagship_reps": len(samples),
                 "unit": "sec",
                 "queries": timings,
+                # per-query min/median/max over all reps this run — the
+                # noise-vs-regression classifier for round-over-round deltas
+                "query_spread": spread,
                 "sf": sf,
                 # HEADLINE rollup metric: points/sec at the 4x amortization
                 # point (falls back to default scale if the scale run was
