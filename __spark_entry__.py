@@ -1526,8 +1526,9 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH top-k at the measured 4-planes × 4-tables operating
-    point (~0.48 recall at ~24% of brute-force pairs on random vectors)."""
+    """Multi-table + multi-probe LSH top-k at the measured 4-planes ×
+    4-tables + hamming-1-probe operating point (0.92 recall@5 on the sf0.01
+    embeddings — see the recall/cost table in lsh_cosine_topk's docstring)."""
     from pysatl_cpd_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1541,6 +1542,7 @@ def lsh_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=4,
         quantize_scale=_QSCALE,
         round_digits=9,
+        multiprobe=True,
     )
 
 
@@ -1683,11 +1685,21 @@ WHERE bit_count(xor(a.simhash, b.simhash))
 """
 
 
-def _lsh_cosine_sql(n_planes: int = 4, seed: int = 42, k: int = 5, n_tables: int = 4) -> str:
+def _lsh_cosine_sql(
+    n_planes: int = 4,
+    seed: int = 42,
+    k: int = 5,
+    n_tables: int = 4,
+    multiprobe: bool = True,
+) -> str:
     from pysatl_cpd_spark.operators.similarity import quantized_hyperplanes
 
     table_ctes = []
     branches = []
+    # hamming-1 multi-probe: the query side joins at its own bucket XOR each
+    # single-bit mask (mask 0 = own bucket) — mirrors lsh_cosine_topk's
+    # exploded probe array
+    masks = [0] + [1 << i for i in range(n_planes)] if multiprobe else [0]
     for ti in range(n_tables):
         planes = quantized_hyperplanes(_EMB_DIM, n_planes, seed + ti, _QSCALE)
         table_ctes.append(
@@ -1695,13 +1707,18 @@ def _lsh_cosine_sql(n_planes: int = 4, seed: int = 42, k: int = 5, n_tables: int
         )
         branches.append(
             f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
-            f"  FROM b{ti} c JOIN b{ti} q ON c.bucket = q.bucket\n"
+            f"  FROM b{ti} q CROSS JOIN probes p\n"
+            f"  JOIN b{ti} c ON c.bucket = xor(q.bucket, p.mask)\n"
             f"  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id"
         )
     ctes = ",\n".join(table_ctes)
     cands = "\n  UNION\n  ".join(branches)
+    probes_cte = "probes(mask) AS (VALUES " + ", ".join(
+        f"(CAST({x} AS BIGINT))" for x in masks
+    ) + ")"
     return f"""
 WITH {_SCALED_CTE.strip()},
+{probes_cte},
 {ctes},
 cands AS (
   {cands}

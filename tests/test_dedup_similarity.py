@@ -135,6 +135,25 @@ def test_lsh_topk_bucket_contains_near_dup(vectors):
     assert any(r["neighbor_id"] == 7 for r in top)
 
 
+def test_lsh_multiprobe_candidate_superset(vectors):
+    # hamming-1 multi-probe may only ADD candidates: every (query, neighbor)
+    # the single-probe run returns must also appear in the multi-probe run
+    # (same tables/planes), and recall vs exact may never drop
+    q = vectors.filter(F.col("vec_id") < 4)
+    kw = dict(dim=8, k=20, n_planes=4, n_tables=2)
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_cosine_topk(vectors, q, **kw).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_cosine_topk(vectors, q, multiprobe=True, **kw).collect()
+    }
+    # k=20 >= corpus size, so top-k truncation cannot evict a candidate and
+    # the returned sets ARE the candidate sets
+    assert single <= multi
+
+
 def test_multimodal_features(spark):
     media = synthesize_media(spark, n_items=12, seed=1)
     feats = extract_features(media, dim=16).collect()
