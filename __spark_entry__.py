@@ -2287,7 +2287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": asof_join_events_orders,
         "lang_id_docs": lang_id_docs,
         "stopword_quality": stopword_quality,
-        "text_quality": text_quality,
+        # token_jaccard promoted into the window (round 6): it carries the
+        # df-pruned broadcast-anti-join vocabulary — the documented 100-TB
+        # stopword-fan-out mitigation — which no other checked entry
+        # exercises. text_quality was demoted to make room (see the demoted
+        # block: its token_count/punct_ratio machinery is computed inside
+        # stopword_quality's quality column).
+        "token_jaccard": token_jaccard,
         "dedup_exact": dedup_exact_docs,
         "shingle_jaccard": shingle_jaccard,
         "embeddings_cosine_topk": embeddings_cosine_topk,
@@ -2333,6 +2339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   inter_event_gaps         -> events_sessionize (same lag-window op)
         #   doc_fingerprints         -> dedup_exact consumes the md5 path
         #   event_user_set_ops       -> distinct/set machinery on rollup paths
+        #   text_quality             -> stopword_quality's quality column is
+        #                               built FROM token_count + punct_ratio
+        #                               (+ stopword_ratio); char_count is
+        #                               length(text), pytest-covered
         "events_rollup_1m": lambda s, d: _rollup_events(s, d, "minute"),
         "events_rollup_1h": lambda s, d: _rollup_events(s, d, "hour"),
         "events_rollup_1d": lambda s, d: _rollup_events(s, d, "day"),
@@ -2343,7 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "event_user_set_ops": event_user_set_ops,
         "rollup_topk_daily": rollup_topk_daily,
-        "token_jaccard": token_jaccard,
+        "text_quality": text_quality,
     }
 
 

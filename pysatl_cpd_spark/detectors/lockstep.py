@@ -74,6 +74,38 @@ from pysatl_cpd_spark.detectors.special import _quiet_fp
 
 FloatArray = npt.NDArray[np.float64]
 
+_ROW_SUM_CONTRACT_VERIFIED = False
+
+
+def _verify_row_sum_contract() -> None:
+    """Once-per-process runtime guard for the bit-identity contract that
+    ``_exact_row_sums_grouped`` relies on: ``sum(axis=1)`` over strided /
+    fancy-indexed 2D row views must use the same pairwise-summation tree as
+    a contiguous 1D sum. This is a numpy implementation detail (pinned by
+    tests/test_lockstep.py::test_exact_row_sums_bitwise at CI time) — the
+    runtime check means an interpreter-environment change (numpy upgrade)
+    cannot silently bypass the test and flip threshold tie-breaks on the
+    hash-gated contract queries. Cost: ~100µs at first detector construction.
+    """
+    global _ROW_SUM_CONTRACT_VERIFIED
+    if _ROW_SUM_CONTRACT_VERIFIED:
+        return
+    rng = np.random.default_rng(987654)
+    # > 128 columns so numpy's pairwise blocking (unrolled below 8, blocked
+    # at 128) is actually exercised, on the layouts the kernel produces
+    base = rng.normal(size=(12, 300)) * np.exp(rng.normal(size=(12, 300)))
+    for mat in (base, base[::2], base[[7, 2, 9, 0, 4]], base[:, :257]):
+        for l in (5, 127, 129, mat.shape[1]):
+            rows2d = mat[:, :l].sum(axis=1)
+            for i in range(mat.shape[0]):
+                if rows2d[i] != np.ascontiguousarray(mat[i, :l]).sum():
+                    raise RuntimeError(
+                        "numpy sum(axis=1) diverged bitwise from the "
+                        "contiguous 1D sum; the lockstep exact-row-sum "
+                        "contract does not hold under this numpy build"
+                    )
+    _ROW_SUM_CONTRACT_VERIFIED = True
+
 
 def _row_length_groups(
     lengths: npt.NDArray[np.int64],
@@ -239,6 +271,7 @@ class LockstepLinearBOCPD:
         model: str = "heuristic",
         bare: bool = False,
     ) -> None:
+        _verify_row_sum_contract()
         self.rate = float(rate)
         self.hazard = 1.0 / float(rate)
         self.lss = int(learning_sample_size)

@@ -15,6 +15,9 @@ from pysatl_cpd_spark.functions.text import fingerprint, token_hash64
 _MERSENNE = (1 << 31) - 1  # int64-safe: (h mod p) * a < 2^62
 
 
+_PERSISTED: "list[DataFrame]" = []
+
+
 def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
     """Persist an intermediate that the downstream plan references from
     MULTIPLE subplans (self-join sides, size joins): Spark plans each
@@ -22,12 +25,35 @@ def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
     pairs — so without the cache the expensive derivation runs once per
     reference. MEMORY_AND_DISK, LRU-evicted; at true corpus scale these
     intermediates (signatures, shingle sets, simhashes) are materialized as
-    first-class lake assets instead."""
+    first-class lake assets instead.
+
+    LIFETIME: the operator cannot unpersist eagerly — the consuming action
+    runs later, in the caller — so every persisted handle is registered and
+    a long-lived session should call ``unpersist_cached()`` after its
+    actions complete. Until then the blocks stay cached and rely on LRU
+    eviction under memory pressure (fine for one-shot jobs, a slow
+    accumulation for a resident service)."""
     if not flag:
         return df
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def unpersist_cached(blocking: bool = False) -> int:
+    """Release every intermediate the dedup/similarity operators persisted
+    via ``_maybe_persist`` (see its LIFETIME note). Safe to call any time
+    after the consuming actions; returns the number of handles released."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _PERSISTED.clear()
+    return n
 
 
 def _normalized_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -374,15 +400,23 @@ def winnow_fingerprints(
 SIMHASH_BITS = 120  # two 60-bit md5 halves (lo = hex[1:15], hi = hex[16:30])
 
 
-def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """SimHash per document: sign-sum of token-hash bits. Relational form:
     explode tokens → per-bit ±1 contributions → groupBy doc → sign. The
     per-bit loop builds ``bits`` aggregate columns (JVM-side).
 
+    OUTPUT SCHEMA depends on the width (pick ``bits`` deliberately):
     ``bits <= 60`` → one ``simhash`` column (low bits of md5 hex[1:15]).
     ``bits > 60`` (cap 120) → ``simhash`` (bits 0-59, md5 hex[1:15]) plus
     ``simhash_hi`` (bits 60.., md5 hex[16:30]) — the wide form the blocked
-    near-dup join needs for >=16-bit chunk keys at corpus scale."""
+    near-dup join needs for >=16-bit chunk keys at corpus scale. The default
+    is the full 120-bit two-column form (what ``simhash_near_dups`` uses);
+    pass ``bits=60`` for the legacy single-column shape."""
     toks = _normalized_tokens(docs, id_col, text_col)
     nbits = min(bits, SIMHASH_BITS)
     hashed = toks.select(

@@ -98,19 +98,24 @@ def _try_real_decode(payload: bytes) -> np.ndarray:
     repo's pure-python PNG codec (operators/png.py) so the real-decode
     branch is executable in this container, where Pillow is absent. Raises
     NotImplementedError for formats neither path can handle."""
+    pillow_err: Exception | None = None
     try:  # pragma: no cover - Pillow not in this container
         import io
 
-        from PIL import Image
+        from PIL import Image, UnidentifiedImageError
 
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        try:
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        except (UnidentifiedImageError, OSError, ValueError) as exc:
+            # corrupt/non-image payload: fall through to the pure codec so
+            # the error surface (NotImplementedError with a stable message)
+            # is environment-independent — tests match on it in Pillow-
+            # present environments too. ONLY the known decode errors are
+            # caught (not a blanket Exception, which would swallow e.g.
+            # MemoryError), and the original is chained into the fallback
+            # error below so the root cause survives in logs.
+            pillow_err = exc
     except ImportError:
-        pass
-    except Exception:  # pragma: no cover - Pillow present, payload bad
-        # a corrupt/non-image payload raises UnidentifiedImageError/OSError
-        # under Pillow; fall through to the pure codec so the error surface
-        # (NotImplementedError with a stable message) is environment-
-        # independent — tests match on it in Pillow-present environments too
         pass
     from pysatl_cpd_spark.operators.png import decode_png
 
@@ -129,7 +134,7 @@ def _try_real_decode(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"real decode: payload is not a PNG this codec handles and "
             f"Pillow is unavailable ({exc})"
-        ) from exc
+        ) from (pillow_err or exc)
 
 
 def pixels_to_feature(pixels: np.ndarray, dim: int = 16) -> np.ndarray:

@@ -30,7 +30,12 @@ DRIVER_WINDOW_GOLDEN = [
     "asof_join",
     "lang_id_docs",
     "stopword_quality",
-    "text_quality",
+    # round-6 re-pin: token_jaccard (df-pruned broadcast-anti-join Jaccard,
+    # the 100-TB stopword mitigation) replaced text_quality, whose
+    # token_count/punct_ratio machinery is computed inside stopword_quality's
+    # quality column — text_quality stays locally value-checked in the
+    # demoted block
+    "token_jaccard",
     "dedup_exact",
     "shingle_jaccard",
     "embeddings_cosine_topk",
