@@ -130,16 +130,19 @@ def work(_):
     rng = np.random.default_rng(0)
     x = rng.normal(size=40000)
     acc = 0.0
-    for i in range(600):
+    for i in range(1200):
         c = np.cumsum(x - x.mean() - 0.1)
         acc += float((c - np.minimum.accumulate(c)).max())
     return acc
 
 def wave(nproc):
+    # the probe is the per-rep NORMALIZER, so its own noise propagates 1:1
+    # into the normalized efficiency: 2x the work per wave + min-of-5 waves
+    # (was min-of-3 of ~0.3s) tightens it at ~4s per probe
     with mp.Pool(nproc) as p:
         p.map(work, range(nproc))  # warm
         best = 1e9
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             p.map(work, range(nproc))  # every proc does identical work once
             best = min(best, time.perf_counter() - t0)
