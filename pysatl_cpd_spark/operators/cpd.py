@@ -146,6 +146,7 @@ def detect_online_lockstep(
     series_df: DataFrame,
     lockstep_factory: "Callable[[], object]",
     n_buckets: int | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Online detection with the cross-series LOCKSTEP kernel
     (detectors/lockstep.py): series are salted into ``n_buckets`` hash
@@ -166,7 +167,20 @@ def detect_online_lockstep(
     sequential variants) is rejected: lockstep NEEDS multi-series batches,
     and a per-series grouping would silently degrade it to worse-than-
     sequential — use ``detect_online(..., n_buckets=0)`` over bucketed
-    tables instead."""
+    tables instead.
+
+    Dispatch is ARROW-NATIVE (``applyInArrow``, Spark >= 4): the kernel
+    consumes numpy anyway, so the pandas layer bought nothing and cost a
+    table conversion per bucket — worst on the series_id strings, which
+    pandas lands as per-row Python objects while Arrow keeps them as one
+    contiguous buffer that the dispatch only dictionary-encodes.
+    Sort/group/emit all happen on Arrow/numpy arrays; falls back to the
+    pandas path (identical output, asserted by test) when applyInArrow is
+    unavailable. Measured A/B (9.6M pts, local[32], interleaved): output
+    bit-identical, wall time within noise of the pandas path — at
+    production bucket sizes the kernel dominates and the conversion is
+    amortized; the Arrow path is kept for the smaller constant factor and
+    the removed per-bucket object-string materialization."""
     spark = series_df.sparkSession
     if n_buckets is None:
         n_buckets = 2 * spark.sparkContext.defaultParallelism
@@ -177,26 +191,64 @@ def detect_online_lockstep(
             "n_buckets=0"
         )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["series_id", "t"])
-        ids: list[str] = []
-        values: list[np.ndarray] = []
-        indexes: list[np.ndarray] = []
-        for sid, grp in pdf.groupby("series_id", sort=False):
-            ids.append(sid)
-            values.append(grp["value"].to_numpy(dtype=np.float64))
-            indexes.append(grp["t"].to_numpy())
+    def split_and_run(t_np, v_np, sid_codes):
+        """Shared core: sorted (t, value, series-code) arrays → per-series
+        slices → lockstep kernel → (row-offsets of each cp's series, cps)."""
+        if sid_codes.shape[0] == 0:
+            return [], []
+        bounds = np.flatnonzero(np.diff(sid_codes)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [sid_codes.shape[0]]))
+        values = [v_np[s:e] for s, e in zip(starts, ends)]
         all_cps = lockstep_factory().process_many(values)
-        out_ids: list[str] = []
+        out_rows: list[int] = []
         out_cps: list[int] = []
-        for sid, index, cps in zip(ids, indexes, all_cps):
+        for s, e, cps in zip(starts, ends, all_cps):
+            index = t_np[s:e]
             for c in cps:
-                if c < len(index):
-                    out_ids.append(sid)
+                if c < index.shape[0]:
+                    out_rows.append(int(s))
                     out_cps.append(int(index[c]))
+        return out_rows, out_cps
+
+    def run_arrow(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            table,
+            sort_keys=[("series_id", "ascending"), ("t", "ascending")],
+        )
+        sid = pc.take(table.column("series_id"), order).combine_chunks()
+        t_np = pc.take(table.column("t"), order).combine_chunks().to_numpy()
+        v_np = (
+            pc.take(table.column("value"), order).combine_chunks().to_numpy()
+        )
+        codes = pc.dictionary_encode(sid).indices.to_numpy()
+        out_rows, out_cps = split_and_run(
+            t_np, v_np.astype(np.float64, copy=False), codes
+        )
+        return pa.table(
+            {
+                "series_id": pc.take(sid, pa.array(out_rows, pa.int64())),
+                "change_point": pa.array(out_cps, pa.int64()),
+            }
+        )
+
+    def run_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["series_id", "t"])
+        sid = pdf["series_id"].to_numpy()
+        codes = np.zeros(sid.shape[0], dtype=np.int64)
+        if sid.shape[0]:
+            codes[1:] = np.cumsum(sid[1:] != sid[:-1])
+        out_rows, out_cps = split_and_run(
+            pdf["t"].to_numpy(),
+            pdf["value"].to_numpy(dtype=np.float64),
+            codes,
+        )
         return pd.DataFrame(
             {
-                "series_id": pd.Series(out_ids, dtype=str),
+                "series_id": pd.Series(sid[out_rows], dtype=str),
                 "change_point": pd.Series(out_cps, dtype="int64"),
             }
         )
@@ -206,7 +258,10 @@ def detect_online_lockstep(
         .withColumn("bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)))
         .repartition(n_buckets, "bucket")  # AQE-coalesce-proof (see _bucketed)
     )
-    return bucketed.groupBy("bucket").applyInPandas(run, CP_SCHEMA)
+    grouped = bucketed.groupBy("bucket")
+    if arrow and hasattr(grouped, "applyInArrow"):
+        return grouped.applyInArrow(run_arrow, CP_SCHEMA)
+    return grouped.applyInPandas(run_pandas, CP_SCHEMA)
 
 
 def detect_offline_lockstep(

@@ -199,6 +199,36 @@ def test_detect_online_lockstep_operator_parity(spark):
     assert seq == lock and len(seq) > 10
 
 
+def test_lockstep_arrow_vs_pandas_dispatch(spark):
+    """The applyInArrow dispatch and the pandas fallback must emit the exact
+    same (series_id, change_point) rows — the fallback exists for Spark
+    builds without applyInArrow, so both code paths stay live."""
+    from pysatl_cpd_spark.operators.cpd import detect_online_lockstep
+    from pysatl_cpd_spark.operators.series import turn_rate_series
+    from pysatl_cpd_spark.sources.transcripts import transcripts_table
+
+    tr = transcripts_table(
+        spark, n_conversations=40, avg_turns=220, seed=23, with_text=False
+    )
+    series = turn_rate_series(tr).cache()
+    lock_fac = lambda: LockstepLinearBOCPD(  # noqa: E731
+        RATE, LSS, THR, START_AFTER, PREP
+    )
+
+    arrow = {
+        (r.series_id, r.change_point)
+        for r in detect_online_lockstep(series, lock_fac, n_buckets=4).collect()
+    }
+    pandas_rows = {
+        (r.series_id, r.change_point)
+        for r in detect_online_lockstep(
+            series, lock_fac, n_buckets=4, arrow=False
+        ).collect()
+    }
+    series.unpersist()
+    assert arrow == pandas_rows and len(arrow) > 5
+
+
 def test_exact_row_sums_bitwise():
     """_exact_row_sums must reproduce the sequential kernel's 1D pairwise
     sums BYTE-for-byte at every row's exact length (incl. strided views,
