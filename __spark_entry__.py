@@ -1438,6 +1438,9 @@ def cpd_rulsif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at the documented ≥0.8-recall operating point: 16 lists ×
+    8 probes measures 0.94 recall@5 on the sf0.01 embeddings (the 4-probe
+    point, kept as a comparison row in ann_recall, measures 0.60)."""
     from pysatl_cpd_spark.operators.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1448,7 +1451,7 @@ def ivf_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_EMB_DIM,
         k=5,
         n_lists=16,
-        n_probe=4,
+        n_probe=8,
         quantize_scale=_QSCALE,
         round_digits=9,
     )
@@ -1759,7 +1762,7 @@ WHERE {_int_cosine_sql("a.sv", "b.sv", 6)} >= {min_cosine}
 """
 
 
-def _ivf_cosine_sql(n_lists: int = 16, n_probe: int = 4, k: int = 5, seed: int = 0) -> str:
+def _ivf_cosine_sql(n_lists: int = 16, n_probe: int = 8, k: int = 5, seed: int = 0) -> str:
     """Centroid literals are computed from the sf0.01 embeddings parquet with
     the SAME deterministic sample + k-means the Spark operator uses (the
     driver's oracle gate runs at sf0.01 — TESTDATA.md)."""
@@ -1997,7 +2000,9 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(method).alias("method"), "recall")
         )
 
-    def ivf8(s: SparkSession, d: str) -> DataFrame:
+    def ivf4(s: SparkSession, d: str) -> DataFrame:
+        # the 4-probe comparison point (the contract default is 8 probes,
+        # 0.94 recall — see ivf_cosine_query)
         from pysatl_cpd_spark.operators.similarity import ivf_cosine_topk
 
         emb = _t(s, d, "embeddings")
@@ -2007,15 +2012,15 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim=_EMB_DIM,
             k=5,
             n_lists=16,
-            n_probe=8,
+            n_probe=4,
             quantize_scale=_QSCALE,
             round_digits=9,
         )
 
     return (
         one("lsh", lsh_cosine_query)
-        .unionByName(one("ivf_probe4", ivf_cosine_query))
-        .unionByName(one("ivf_probe8", ivf8))
+        .unionByName(one("ivf_probe4", ivf4))
+        .unionByName(one("ivf_probe8", ivf_cosine_query))
     )
 
 
