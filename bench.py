@@ -51,7 +51,7 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
     from pyspark.sql import functions as F
 
     from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
-    from pysatl_cpd_spark.operators.cpd import detect_online_lockstep
+    from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
     from pysatl_cpd_spark.operators.rollup import rollup_all_tiers
     from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
     from pysatl_cpd_spark.operators.series import turn_rate_series
@@ -93,7 +93,10 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
         start_after=500,
         prep=250,
     )
-    cps = detect_online_lockstep(series, factory)
+    # zero-exchange dispatch: the explicit conv_id repartition above makes
+    # every partition hold complete series, so detection needs no second
+    # shuffle (measured 1.95->1.34 s on this stage at 600k pts, same rows)
+    cps = detect_lockstep_colocated(series, factory)
     encoded = encode_segments_adaptive(series, cps)
     encoded.count()
 

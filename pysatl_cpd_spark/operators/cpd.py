@@ -212,28 +212,7 @@ def detect_online_lockstep(
         return out_rows, out_cps
 
     def run_arrow(table):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            table,
-            sort_keys=[("series_id", "ascending"), ("t", "ascending")],
-        )
-        sid = pc.take(table.column("series_id"), order).combine_chunks()
-        t_np = pc.take(table.column("t"), order).combine_chunks().to_numpy()
-        v_np = (
-            pc.take(table.column("value"), order).combine_chunks().to_numpy()
-        )
-        codes = pc.dictionary_encode(sid).indices.to_numpy()
-        out_rows, out_cps = split_and_run(
-            t_np, v_np.astype(np.float64, copy=False), codes
-        )
-        return pa.table(
-            {
-                "series_id": pc.take(sid, pa.array(out_rows, pa.int64())),
-                "change_point": pa.array(out_cps, pa.int64()),
-            }
-        )
+        return _lockstep_arrow_table(table, lockstep_factory)
 
     def run_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["series_id", "t"])
@@ -262,6 +241,88 @@ def detect_online_lockstep(
     if arrow and hasattr(grouped, "applyInArrow"):
         return grouped.applyInArrow(run_arrow, CP_SCHEMA)
     return grouped.applyInPandas(run_pandas, CP_SCHEMA)
+
+
+def _lockstep_arrow_table(table, lockstep_factory):
+    """Shared Arrow core of the lockstep dispatches: sort a (series_id, t,
+    value) pyarrow Table, dictionary-encode the key, slice per-series numpy
+    views, run the kernel, emit a (series_id, change_point) Table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        table, sort_keys=[("series_id", "ascending"), ("t", "ascending")]
+    )
+    sid = pc.take(table.column("series_id"), order).combine_chunks()
+    t_np = pc.take(table.column("t"), order).combine_chunks().to_numpy()
+    v_np = (
+        pc.take(table.column("value"), order)
+        .combine_chunks()
+        .to_numpy()
+        .astype(np.float64, copy=False)
+    )
+    codes = pc.dictionary_encode(sid).indices.to_numpy()
+    out_rows: list[int] = []
+    out_cps: list[int] = []
+    if codes.shape[0]:
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [codes.shape[0]]))
+        values = [v_np[s:e] for s, e in zip(starts, ends)]
+        all_cps = lockstep_factory().process_many(values)
+        for s, e, cps in zip(starts, ends, all_cps):
+            index = t_np[s:e]
+            for c in cps:
+                if c < index.shape[0]:
+                    out_rows.append(int(s))
+                    out_cps.append(int(index[c]))
+    return pa.table(
+        {
+            "series_id": pc.take(sid, pa.array(out_rows, pa.int64())).cast(
+                pa.string()
+            ),
+            "change_point": pa.array(out_cps, pa.int64()),
+        }
+    )
+
+
+def detect_lockstep_colocated(
+    series_df: DataFrame,
+    lockstep_factory: "Callable[[], object]",
+) -> DataFrame:
+    """ZERO-EXCHANGE lockstep detection over co-located input: the caller
+    asserts every partition holds only COMPLETE series — true for a table
+    bucketed/ingested by the series key (sources/catalog.py
+    write_bucketed_series: pay the shuffle once at ingest) and for any plan
+    downstream of an explicit ``repartition(n, series_id)``. One mapInArrow
+    pass per partition concatenates the partition's batches and runs the
+    kernel once over all of its series — no salt column, no groupBy, no
+    second shuffle (plan-asserted in tests/test_lockstep.py).
+
+    Per-series output is identical to ``detect_online_lockstep`` for any
+    partitioning that satisfies the contract (kernel lanes are independent;
+    batch composition does not affect results — differential-tested). A
+    VIOLATED contract (series split across partitions) silently detects on
+    partial series: when unsure, use the salted dispatch.
+
+    CAUTION with window-derived series (no explicit repartition upstream):
+    AQE's byte-based coalescing may merge the small-but-Python-heavy
+    partitions down to a handful and serialize the kernel — the same trap
+    ``_bucketed`` documents. Explicit-repartition or storage-bucketed
+    inputs are exempt; that is the intended use."""
+    pruned = _prepared(series_df)
+
+    def run(batches):
+        import pyarrow as pa
+
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        table = pa.Table.from_batches(batch_list).combine_chunks()
+        out = _lockstep_arrow_table(table, lockstep_factory)
+        yield from out.to_batches()
+
+    return pruned.mapInArrow(run, CP_SCHEMA)
 
 
 def detect_offline_lockstep(

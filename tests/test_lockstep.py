@@ -229,6 +229,45 @@ def test_lockstep_arrow_vs_pandas_dispatch(spark):
     assert arrow == pandas_rows and len(arrow) > 5
 
 
+def test_lockstep_colocated_zero_exchange_and_parity(spark):
+    """detect_lockstep_colocated over an explicitly repartitioned series must
+    add ZERO exchanges beyond the caller's own repartition, and emit exactly
+    the salted dispatch's rows (kernel lanes are independent of batch
+    composition)."""
+    from pysatl_cpd_spark.operators.cpd import (
+        detect_lockstep_colocated,
+        detect_online_lockstep,
+    )
+    from pysatl_cpd_spark.operators.series import turn_rate_series
+    from pysatl_cpd_spark.sources.transcripts import transcripts_table
+
+    tr = transcripts_table(
+        spark, n_conversations=40, avg_turns=220, seed=23, with_text=False
+    ).repartition(8, "conv_id")
+    series = turn_rate_series(tr).cache()
+    lock_fac = lambda: LockstepLinearBOCPD(  # noqa: E731
+        RATE, LSS, THR, START_AFTER, PREP
+    )
+
+    out = detect_lockstep_colocated(series, lock_fac)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    base_plan = series._jdf.queryExecution().executedPlan().toString()
+    # the detection itself adds ZERO exchanges on top of the input plan's own
+    # (synthesis range-repartition + the caller's conv_id repartition); the
+    # salted path would add one more (repartition by salt bucket)
+    assert plan.count("Exchange hashpartitioning") == base_plan.count(
+        "Exchange hashpartitioning"
+    ), plan[:800]
+
+    colocated = {(r.series_id, r.change_point) for r in out.collect()}
+    salted = {
+        (r.series_id, r.change_point)
+        for r in detect_online_lockstep(series, lock_fac, n_buckets=4).collect()
+    }
+    series.unpersist()
+    assert colocated == salted and len(colocated) > 5
+
+
 def test_exact_row_sums_bitwise():
     """_exact_row_sums must reproduce the sequential kernel's 1D pairwise
     sums BYTE-for-byte at every row's exact length (incl. strided views,
