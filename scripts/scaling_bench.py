@@ -51,7 +51,7 @@ sys.path.insert(0, "/root/repo")
 from pysatl_cpd_spark.session import get_spark
 from pyspark.sql import functions as F
 from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
-from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
+from pysatl_cpd_spark.operators.segments import encode_segments_colocated
 from pysatl_cpd_spark.operators.rollup import rollup_all_tiers
 from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
 
@@ -95,7 +95,7 @@ def run_once():
     cps = detect_lockstep_colocated(series_c, factory).cache(); cps.count()
     stages["detect"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    encode_segments_adaptive(series_c, cps).count()
+    encode_segments_colocated(series_c, cps).count()
     stages["encode"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     tiers = rollup_all_tiers(raw.select("conv_id", "ts", F.lit(1.0).alias("value")),

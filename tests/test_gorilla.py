@@ -161,3 +161,47 @@ def test_compact_segments_roundtrip(spark):
     ).toPandas()
     assert chk["ord_ok"].all()
     assert int(compacted.agg(F.sum("n_points")).collect()[0][0]) == len(rows)
+
+
+def test_encode_colocated_matches_adaptive(spark):
+    """encode_segments_colocated over explicitly repartitioned series must
+    emit byte-identical rows (blob included) to encode_segments_adaptive,
+    and add no exchange on the series side beyond the caller's repartition."""
+    from pyspark.sql import functions as F
+
+    from pysatl_cpd_spark.operators.segments import (
+        encode_segments_adaptive,
+        encode_segments_colocated,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for s in range(7):
+        ts = np.cumsum(rng.integers(1, 9, 300))
+        vals = rng.normal(size=300)
+        rows += [(f"s{s}", int(t), float(v)) for t, v in zip(ts, vals)]
+    series = spark.createDataFrame(
+        rows, "series_id string, t long, value double"
+    ).repartition(4, "series_id")
+    cps = series.filter(F.col("t") % 70 == 3).select(
+        "series_id", F.col("t").alias("change_point")
+    )
+
+    def key(df):
+        return {
+            (
+                r["series_id"], r["segment_id"], r["n_points"], r["t_min"],
+                r["t_max"], r["first_value"], r["last_value"], bytes(r["blob"]),
+            )
+            for r in df.collect()
+        }
+
+    col = encode_segments_colocated(series, cps)
+    plan = col._jdf.queryExecution().executedPlan().toString()
+    base = series._jdf.queryExecution().executedPlan().toString()
+    # markers side aggregates (distinct on the tiny cps set) but the SERIES
+    # side gains no exchange: count only grows by the marker-side distinct
+    assert plan.count("Exchange hashpartitioning") <= base.count(
+        "Exchange hashpartitioning"
+    ) + 2, plan[:800]
+    assert key(col) == key(encode_segments_adaptive(series, cps))
