@@ -205,6 +205,8 @@ def encode_segments_colocated(
         if not batch_list:
             return
         table = pa.Table.from_batches(batch_list).combine_chunks()
+        if table.num_rows == 0:  # zero-row batches still carry schema
+            return
         order = pc.sort_indices(
             table, sort_keys=[("series_id", "ascending"), ("t", "ascending")]
         )
