@@ -205,3 +205,48 @@ def test_encode_colocated_matches_adaptive(spark):
         "Exchange hashpartitioning"
     ) + 2, plan[:800]
     assert key(col) == key(encode_segments_adaptive(series, cps))
+
+
+def test_encode_colocated_edge_shapes(spark):
+    """Edge parity vs adaptive: no change points at all; a marker on a
+    series' first row; back-to-back markers (single-point segments); more
+    partitions than series (some partitions empty)."""
+    from pyspark.sql import functions as F
+
+    from pysatl_cpd_spark.operators.segments import (
+        encode_segments_adaptive,
+        encode_segments_colocated,
+    )
+
+    rows = []
+    for s, ts_list in (
+        ("a", [1, 2, 3, 4, 5, 6]),
+        ("b", [10, 20, 30]),
+        ("c", [7]),
+    ):
+        rows += [(s, t, float(t) * 0.5) for t in ts_list]
+    series = spark.createDataFrame(
+        rows, "series_id string, t long, value double"
+    ).repartition(8, "series_id")  # > n_series: some partitions empty
+
+    def key(df):
+        return {
+            (r["series_id"], r["segment_id"], r["n_points"], r["t_min"],
+             r["t_max"], bytes(r["blob"]))
+            for r in df.collect()
+        }
+
+    cases = [
+        [],                                  # no markers
+        [("a", 1)],                          # marker on first row of a
+        [("a", 3), ("a", 4), ("b", 30)],     # adjacent markers + last row
+    ]
+    for markers in cases:
+        cps = spark.createDataFrame(
+            markers or [("zzz", -1)], "series_id string, change_point long"
+        )
+        if not markers:
+            cps = cps.filter(F.col("change_point") > 0)  # truly empty
+        got = key(encode_segments_colocated(series, cps))
+        want = key(encode_segments_adaptive(series, cps))
+        assert got == want, (markers, got ^ want)

@@ -268,6 +268,38 @@ def test_lockstep_colocated_zero_exchange_and_parity(spark):
     assert colocated == salted and len(colocated) > 5
 
 
+def test_lockstep_colocated_edge_shapes(spark):
+    """Colocated dispatch with empty partitions and degenerate series: more
+    partitions than series (zero-row Arrow inputs), single-point series,
+    and a no-detection workload — must match the salted path exactly."""
+    from pysatl_cpd_spark.detectors.cusum import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import (
+        detect_lockstep_colocated,
+        detect_online_lockstep,
+    )
+
+    rows = [("solo", 0, 1.0)]
+    for t in range(120):
+        rows.append(("flat", t, 0.5))
+        rows.append(("step", t, 0.0 if t < 60 else 9.0))
+    series = spark.createDataFrame(
+        rows, "series_id string, t long, value double"
+    ).repartition(16, "series_id")
+    fac = lambda: LockstepCusum(k=0.5, h=5.0, learning_steps=20)  # noqa: E731
+
+    coloc = {
+        (r.series_id, r.change_point)
+        for r in detect_lockstep_colocated(series, fac).collect()
+    }
+    salted = {
+        (r.series_id, r.change_point)
+        for r in detect_online_lockstep(series, fac, n_buckets=4).collect()
+    }
+    assert coloc == salted
+    assert any(s == "step" for s, _ in coloc)  # the step series detects
+    assert all(s != "flat" for s, _ in coloc)  # the flat one does not
+
+
 def test_exact_row_sums_bitwise():
     """_exact_row_sums must reproduce the sequential kernel's 1D pairwise
     sums BYTE-for-byte at every row's exact length (incl. strided views,
