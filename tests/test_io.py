@@ -101,6 +101,41 @@ def test_bucketed_series_detection_is_shuffle_free(spark, tmp_path):
     assert got_b == got_u and got_b
 
 
+def test_bucketed_table_feeds_colocated_lockstep(spark, tmp_path):
+    """The full production detect plan: bucket-ingest the series table once
+    (write_bucketed_series), then run the zero-exchange LOCKSTEP dispatch
+    straight off the bucketed scan — no exchange anywhere in the detection
+    plan, rows equal to the salted dispatch. (Companion to the sequential
+    n_buckets=0 law above, for the batched kernel.)"""
+    from pysatl_cpd_spark.detectors.cusum import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import (
+        detect_lockstep_colocated,
+        detect_online_lockstep,
+    )
+    from pysatl_cpd_spark.operators.series import events_series
+    from pysatl_cpd_spark.sources.catalog import write_bucketed_series
+
+    series = events_series(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    bucketed = write_bucketed_series(
+        series, "series_bucketed_lockstep_t", n_buckets=8,
+        path=str(tmp_path / "series_lb"),
+    )
+
+    fac = lambda: LockstepCusum(k=1.0, h=10.0)  # noqa: E731
+    out = detect_lockstep_colocated(bucketed, fac)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan[:500]
+
+    got = {(r.series_id, r.change_point) for r in out.collect()}
+    want = {
+        (r.series_id, r.change_point)
+        for r in detect_online_lockstep(series, fac, n_buckets=4).collect()
+    }
+    assert got == want and got
+
+
 def test_load_table_multi_format(spark, tmp_path):
     """orc:/csv:/json: refs read back the same rows parquet does."""
     from pysatl_cpd_spark.sources.catalog import load_table
