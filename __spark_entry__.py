@@ -1068,11 +1068,17 @@ def _event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cpd_bocpd_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pysatl_cpd_spark.detectors import BayesianOffline
-    from pysatl_cpd_spark.operators.cpd import detect_offline
+    from pysatl_cpd_spark.detectors.lockstep_offline import (
+        LockstepBayesianOffline,
+    )
+    from pysatl_cpd_spark.operators.cpd import detect_offline_lockstep
 
-    return detect_offline(
-        _event_series(spark, sf_dir), lambda: BayesianOffline(learning_steps=20)
+    # batched offline-BOCPD kernel — bit-identical to the sequential
+    # BayesianOffline(learning_steps=20) (tests/test_lockstep_offline.py),
+    # 1.8-2.4x per core at this series shape
+    return detect_offline_lockstep(
+        _event_series(spark, sf_dir),
+        lambda: LockstepBayesianOffline(learning_steps=20),
     )
 
 
