@@ -32,6 +32,8 @@ from pysatl_cpd_spark.detectors.cusum import (
     LockstepCusum,
     cusum_stat,
 )
+from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
+from pysatl_cpd_spark.detectors.lockstep_offline import LockstepBayesianOffline
 
 __all__ = [
     "ArgmaxLocalizer",
@@ -45,7 +47,9 @@ __all__ = [
     "Gaussian",
     "GaussianConjugate",
     "HeuristicGaussianVsExponential",
+    "LockstepBayesianOffline",
     "LockstepCusum",
+    "LockstepLinearBOCPD",
     "ThresholdDetector",
     "cusum_stat",
 ]
