@@ -1464,24 +1464,31 @@ def ivf_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cpd_detect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Detection-count mode (D2/D5) with the DropDetector component (C9)."""
-    from pysatl_cpd_spark.detectors import (
-        ArgmaxLocalizer,
-        BayesianOnlineDetector,
-        ConstantHazard,
-        DropDetector,
-        GaussianConjugate,
-    )
-    from pysatl_cpd_spark.operators.cpd import detect_counts
+    """Detection-count mode (D2/D5) with the DropDetector component (C9).
 
-    factory = lambda: BayesianOnlineDetector(  # noqa: E731
-        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
-        GaussianConjugate(),
+    LOCKSTEP kernel on the contract path (round 7): drop-mode
+    ``LockstepLinearBOCPD`` is bit-identical to
+    ``BayesianOnlineDetector(ConstantHazard, GaussianConjugate, 20,
+    DropDetector(0.3), ArgmaxLocalizer()).process_series`` per series
+    (tests/test_lockstep.py drop-detector differential + fuzz), so the
+    transcription-oracle hash gate holds while the batch kernel replaces
+    the per-series sequential scan."""
+    from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
+    from pysatl_cpd_spark.operators.cpd import detect_counts_lockstep
+
+    factory = lambda: LockstepLinearBOCPD(  # noqa: E731
+        1.0 / (1.0 - 0.5 ** (1.0 / 500)),
         20,
-        DropDetector(0.3),
-        ArgmaxLocalizer(),
+        0.3,
+        model="gauss",
+        bare=True,
+        detector="drop",
     )
-    return detect_counts(_event_series(spark, sf_dir), factory)
+    return detect_counts_lockstep(
+        _event_series(spark, sf_dir),
+        factory,
+        n_buckets=spark.sparkContext.defaultParallelism,
+    )
 
 
 _QSCALE = 10_000_000  # embedding int64 quantization scale (matches COSINE_SQL)
@@ -2089,15 +2096,23 @@ def transcripts_cpd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     change points per conversation, Gorilla-encode the segments between them,
     and return per-segment summaries. (No external input — seeded.)"""
     from pysatl_cpd_spark.detectors import LockstepCusum
-    from pysatl_cpd_spark.operators.cpd import detect_offline_lockstep
-    from pysatl_cpd_spark.operators.segments import encode_segments_adaptive
+    from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
+    from pysatl_cpd_spark.operators.segments import encode_segments_colocated
     from pysatl_cpd_spark.operators.series import turn_rate_series
     from pysatl_cpd_spark.sources.transcripts import transcripts_table
 
     from pysatl_cpd_spark.operators.cusum import cusum_prefilter
 
     tr = transcripts_table(spark, n_conversations=20, avg_turns=300, seed=42)
-    series = turn_rate_series(tr).cache()
+    # explicit repartition on the series key: pays the ONE shuffle the
+    # zero-exchange detect+encode assume (and discharges the documented
+    # AQE-coalescing caveat for window-derived series — a user-specified
+    # repartition is exempt); the broadcast left-semi gate below preserves
+    # this partitioning, so detect/encode add NO further exchange
+    # (plan-asserted in tests/test_entry_contract.py; bench.py measured the
+    # identical pipeline shape 8.78 -> 7.23 s interleaved at sf0.1)
+    n_parts = spark.sparkContext.defaultParallelism
+    series = turn_rate_series(tr).repartition(n_parts, "series_id").cache()
     # JVM CUSUM pre-filter: the window-function twin of the detector's first
     # pass — only series it flags can produce change points (exact gate), so
     # the pandas-UDF localization runs on the alarmed subset only; the
@@ -2105,8 +2120,8 @@ def transcripts_cpd_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sequential CusumDetector, tests/test_lockstep_cusum.py)
     alarmed = cusum_prefilter(series, k=0.05, h=2.0)
     gated = series.join(F.broadcast(alarmed), "series_id", "left_semi")
-    cps = detect_offline_lockstep(gated, lambda: LockstepCusum(k=0.05, h=2.0))
-    return encode_segments_adaptive(series, cps).select(
+    cps = detect_lockstep_colocated(gated, lambda: LockstepCusum(k=0.05, h=2.0))
+    return encode_segments_colocated(series, cps).select(
         "series_id",
         "segment_id",
         "n_points",
@@ -2130,17 +2145,24 @@ def transcripts_segment_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     latency), so the turn grid has REAL holes at their indices and the fill
     columns are exercised, not vacuous."""
     from pysatl_cpd_spark.detectors import LockstepCusum
-    from pysatl_cpd_spark.operators.cpd import detect_offline_lockstep
+    from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
     from pysatl_cpd_spark.operators.cusum import cusum_prefilter
     from pysatl_cpd_spark.operators.gapfill import segment_gapfill_turns
     from pysatl_cpd_spark.operators.series import turn_rate_series
     from pysatl_cpd_spark.sources.transcripts import transcripts_table
 
     tr = transcripts_table(spark, n_conversations=20, avg_turns=300, seed=42)
-    series = turn_rate_series(tr.filter(F.col("role") != "tool")).cache()
+    # same zero-exchange shape as the flagship: one explicit key repartition
+    # buys a colocated (salt-free, shuffle-free) lockstep detect
+    n_parts = spark.sparkContext.defaultParallelism
+    series = (
+        turn_rate_series(tr.filter(F.col("role") != "tool"))
+        .repartition(n_parts, "series_id")
+        .cache()
+    )
     alarmed = cusum_prefilter(series, k=0.05, h=2.0)
     gated = series.join(F.broadcast(alarmed), "series_id", "left_semi")
-    cps = detect_offline_lockstep(gated, lambda: LockstepCusum(k=0.05, h=2.0))
+    cps = detect_lockstep_colocated(gated, lambda: LockstepCusum(k=0.05, h=2.0))
     out = segment_gapfill_turns(series, cps)
     return out.select(
         "series_id",

@@ -58,7 +58,11 @@ import numpy as np
 import numpy.typing as npt
 
 from pysatl_cpd_spark.detectors.bayesian_online import BayesianOnlineDetector
-from pysatl_cpd_spark.detectors.detection import ArgmaxLocalizer, ThresholdDetector
+from pysatl_cpd_spark.detectors.detection import (
+    ArgmaxLocalizer,
+    DropDetector,
+    ThresholdDetector,
+)
 from pysatl_cpd_spark.detectors.hazards import ConstantHazard
 from pysatl_cpd_spark.detectors.likelihoods import (
     ExponentialConjugate,
@@ -258,7 +262,22 @@ class LockstepLinearBOCPD:
     rotation, and change points are reported as the bare detector's
     ``t - run_length`` (no epoch offset) — the semantics of
     ``BayesianOnlineDetector(...).process_series``. ``start_after``/``prep``
-    are ignored in bare mode."""
+    are ignored in bare mode.
+
+    ``detector`` picks the firing rule: ``"threshold"`` (default —
+    ``ThresholdDetector``: fire when the max-run-length probability sits
+    below the threshold) or ``"drop"`` (``DropDetector``: fire when it has
+    fallen by >= threshold from the FIRST post-(re)learn max-run-length
+    probability — the sequential detector records ``_prev`` once after each
+    ``clear()`` and never updates it, detection.py:40-47). The drop rule
+    needs one extra scalar of per-lane state (``prev`` + a validity flag):
+    recorded on the first FRESH non-collapsed step after each (re)learn —
+    replayed observations never reach the detector sequentially
+    (bayesian_online.py:171-173 calls only ``_recursion_step``), so they
+    record nothing here either, and a posterior collapse short-circuits the
+    ``detect`` call (``self._fired or ...``) so it neither records nor
+    consults ``prev``. Everything downstream of the fire decision
+    (localize, truncate-retrain-replay, rotation) is rule-independent."""
 
     def __init__(
         self,
@@ -270,6 +289,7 @@ class LockstepLinearBOCPD:
         *,
         model: str = "heuristic",
         bare: bool = False,
+        detector: str = "threshold",
     ) -> None:
         _verify_row_sum_contract()
         self.rate = float(rate)
@@ -278,7 +298,10 @@ class LockstepLinearBOCPD:
         self.threshold = float(threshold)
         if model not in ("heuristic", "gauss", "expo"):
             raise ValueError("model must be heuristic|gauss|expo")
+        if detector not in ("threshold", "drop"):
+            raise ValueError("detector must be threshold|drop")
         self.model = model
+        self.detector = detector
         self.bare = bool(bare)
         if self.bare:
             self.start_after = None
@@ -305,11 +328,12 @@ class LockstepLinearBOCPD:
         return ExponentialConjugate()
 
     def _sequential(self):
+        det_cls = ThresholdDetector if self.detector == "threshold" else DropDetector
         inner = lambda: BayesianOnlineDetector(  # noqa: E731
             ConstantHazard(self.rate),
             self._make_model(),
             self.lss,
-            ThresholdDetector(self.threshold),
+            det_cls(self.threshold),
             ArgmaxLocalizer(),
         )
         if self.bare:
@@ -350,6 +374,11 @@ class LockstepLinearBOCPD:
         cursor = np.zeros(L, dtype=np.int64)  # next stream position to feed
         epoch = np.zeros(L, dtype=np.int64)  # heuristic _epoch_start
         suppress = np.zeros(L, dtype=np.int64)  # replay end (threshold gate)
+        # drop-detector state: sequential DropDetector._prev per lane —
+        # recorded once per (re)learn on the first fresh non-collapsed step,
+        # never updated afterwards (see class docstring)
+        prev = np.zeros(L)
+        prev_valid = np.zeros(L, dtype=bool)
         active = np.zeros(L, dtype=bool)
         cohort_of = np.full(L, -1, dtype=np.int64)  # 0 gauss / 1 expo
         row_of = np.full(L, -1, dtype=np.int64)
@@ -369,6 +398,7 @@ class LockstepLinearBOCPD:
         def learn_and_place(lane: int, s0: int) -> None:
             """(Re)learn at stream position s0; lane rejoins with cursor
             s0+lss, or deactivates if the tail cannot complete training."""
+            prev_valid[lane] = False  # detector.clear() on every (re)learn
             if s0 + lss > n[lane]:
                 self._drop_lane(lane, cohorts, cohort_of, row_of, active)
                 return
@@ -502,8 +532,20 @@ class LockstepLinearBOCPD:
                 lanes_pos = cursor[lanes_c]  # position just consumed
                 fresh = lanes_pos >= suppress[lanes_c]
                 fired = collapsed.copy()
-                fired |= last < thr
+                if self.detector == "threshold":
+                    fired |= last < thr
+                else:
+                    pv = prev_valid[lanes_c]
+                    fired |= ~collapsed & pv & ((prev[lanes_c] - last) >= thr)
                 fired &= fresh
+                if self.detector == "drop":
+                    # record _prev: first fresh non-collapsed step per
+                    # (re)learn — sequential detect() is reached only when
+                    # not _fired, and replayed obs never reach the detector
+                    rec = fresh & ~collapsed & ~prev_valid[lanes_c]
+                    rec_lanes = lanes_c[rec]
+                    prev[rec_lanes] = last[rec]
+                    prev_valid[rec_lanes] = True
                 # replay collapse needs NO carried flag: sequential discards
                 # its replay _fired, and for r>=2 the reset posterior keeps a
                 # trailing zero so the first fresh obs fires via last<thr in

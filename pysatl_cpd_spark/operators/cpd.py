@@ -289,38 +289,86 @@ def _lockstep_arrow_table(table, lockstep_factory):
 def detect_lockstep_colocated(
     series_df: DataFrame,
     lockstep_factory: "Callable[[], object]",
+    flush_points: int = 4_000_000,
+    validate: bool = False,
 ) -> DataFrame:
     """ZERO-EXCHANGE lockstep detection over co-located input: the caller
     asserts every partition holds only COMPLETE series — true for a table
     bucketed/ingested by the series key (sources/catalog.py
     write_bucketed_series: pay the shuffle once at ingest) and for any plan
-    downstream of an explicit ``repartition(n, series_id)``. One mapInArrow
-    pass per partition concatenates the partition's batches and runs the
-    kernel once over all of its series — no salt column, no groupBy, no
-    second shuffle (plan-asserted in tests/test_lockstep.py).
+    downstream of an explicit ``repartition(n, series_id)``. No salt
+    column, no groupBy, no second shuffle (plan-asserted in
+    tests/test_lockstep.py).
+
+    The per-partition sort runs in the JVM (``sortWithinPartitions`` — a
+    local Tungsten sort, no exchange) and the Python side streams the
+    sorted batches one series at a time (operators/colocated.py), so the
+    partition is never materialized as a second Arrow copy and never
+    sorted in Python — that serde share was the measured bus-bound cost of
+    the round-6 variant (BENCH.md). Series accumulate into lockstep calls
+    of ~``flush_points`` points so the cross-series kernel keeps its
+    amortization while peak memory stays bounded by the flush size, not
+    the partition size.
 
     Per-series output is identical to ``detect_online_lockstep`` for any
     partitioning that satisfies the contract (kernel lanes are independent;
     batch composition does not affect results — differential-tested). A
     VIOLATED contract (series split across partitions) silently detects on
-    partial series: when unsure, use the salted dispatch.
+    partial series: ``validate=True`` runs ``assert_colocated`` first (one
+    debug-mode job; see its docstring) — when unsure and in production,
+    use the salted dispatch.
 
     CAUTION with window-derived series (no explicit repartition upstream):
     AQE's byte-based coalescing may merge the small-but-Python-heavy
     partitions down to a handful and serialize the kernel — the same trap
     ``_bucketed`` documents. Explicit-repartition or storage-bucketed
     inputs are exempt; that is the intended use."""
-    pruned = _prepared(series_df)
+    from pysatl_cpd_spark.operators.colocated import (
+        assert_colocated,
+        iter_sorted_series,
+    )
+
+    if validate:
+        assert_colocated(series_df)
+    pruned = _prepared(series_df).sortWithinPartitions("series_id", "t")
 
     def run(batches):
         import pyarrow as pa
 
-        batch_list = list(batches)
-        if not batch_list:
-            return
-        table = pa.Table.from_batches(batch_list).combine_chunks()
-        out = _lockstep_arrow_table(table, lockstep_factory)
-        yield from out.to_batches()
+        buf: "list[tuple[str, np.ndarray, np.ndarray]]" = []
+        buf_pts = 0
+
+        def flush():
+            nonlocal buf, buf_pts
+            if not buf:
+                return None
+            all_cps = lockstep_factory().process_many([v for _, _, v in buf])
+            ids: list[str] = []
+            cps_out: list[int] = []
+            for (sid, t_np, _), cps in zip(buf, all_cps):
+                for c in cps:
+                    if c < t_np.shape[0]:
+                        ids.append(sid)
+                        cps_out.append(int(t_np[c]))
+            buf, buf_pts = [], 0
+            if not ids:
+                return None
+            return pa.record_batch(
+                [pa.array(ids, pa.string()), pa.array(cps_out, pa.int64())],
+                names=["series_id", "change_point"],
+            )
+
+        for sid, cols in iter_sorted_series(batches, ("t", "value")):
+            v = cols["value"].astype(np.float64, copy=False)
+            buf.append((sid, cols["t"], v))
+            buf_pts += v.shape[0]
+            if buf_pts >= flush_points:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
 
     return pruned.mapInArrow(run, CP_SCHEMA)
 
@@ -404,6 +452,70 @@ def detect_counts(
     key = "series_id" if nb == 0 else "bucket"
     return bucketed.groupBy(key).applyInPandas(
         run, "series_id string, n_change_points long"
+    )
+
+
+def detect_counts_lockstep(
+    series_df: DataFrame,
+    lockstep_factory: "Callable[[], object]",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Detection-count mode through the LOCKSTEP batch kernel: the salted
+    dispatch of ``detect_online_lockstep`` (same AQE-proof bucket
+    repartition), but each bucket emits ONE ``(series_id, n_change_points)``
+    row per series — including zero-count series, which a groupBy-count over
+    the change-point rows would silently drop. Counts equal
+    ``len(sequential.process_series(values))`` exactly (the kernel is
+    bit-identical per series; out-of-index change points are filtered with
+    the same ``c < len`` guard the localized dispatch applies)."""
+    spark = series_df.sparkSession
+    if n_buckets is None:
+        n_buckets = 2 * spark.sparkContext.defaultParallelism
+    if n_buckets <= 0:
+        raise ValueError("detect_counts_lockstep requires n_buckets >= 1")
+
+    def run_arrow(table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            table, sort_keys=[("series_id", "ascending"), ("t", "ascending")]
+        )
+        sid = pc.take(table.column("series_id"), order).combine_chunks()
+        v_np = (
+            pc.take(table.column("value"), order)
+            .combine_chunks()
+            .to_numpy()
+            .astype(np.float64, copy=False)
+        )
+        codes = pc.dictionary_encode(sid).indices.to_numpy()
+        out_rows: list[int] = []
+        out_counts: list[int] = []
+        if codes.shape[0]:
+            bounds = np.flatnonzero(np.diff(codes)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [codes.shape[0]]))
+            values = [v_np[s:e] for s, e in zip(starts, ends)]
+            all_cps = lockstep_factory().process_many(values)
+            for s, e, cps in zip(starts, ends, all_cps):
+                out_rows.append(int(s))
+                out_counts.append(sum(1 for c in cps if c < e - s))
+        return pa.table(
+            {
+                "series_id": pc.take(sid, pa.array(out_rows, pa.int64())).cast(
+                    pa.string()
+                ),
+                "n_change_points": pa.array(out_counts, pa.int64()),
+            }
+        )
+
+    bucketed = (
+        _prepared(series_df)
+        .withColumn("bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket")  # AQE-coalesce-proof (see _bucketed)
+    )
+    return bucketed.groupBy("bucket").applyInArrow(
+        run_arrow, "series_id string, n_change_points long"
     )
 
 

@@ -16,6 +16,7 @@ _MERSENNE = (1 << 31) - 1  # int64-safe: (h mod p) * a < 2^62
 
 
 _PERSISTED: "list[DataFrame]" = []
+_PERSISTED_MAX = 32  # FIFO-evict beyond this (see _maybe_persist LIFETIME note)
 
 
 def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
@@ -32,13 +33,24 @@ def _maybe_persist(df: DataFrame, flag: bool) -> DataFrame:
     a long-lived session should call ``unpersist_cached()`` after its
     actions complete. Until then the blocks stay cached and rely on LRU
     eviction under memory pressure (fine for one-shot jobs, a slow
-    accumulation for a resident service)."""
+    accumulation for a resident service). As a backstop for sessions that
+    never call it, the registry is BOUNDED: beyond ``_PERSISTED_MAX``
+    handles the oldest is unpersisted FIFO — correctness-safe (unpersist
+    only drops the cache; a plan that still references the handle simply
+    recomputes), and it stops a resident service from accumulating cached
+    blocks and lineage objects without limit."""
     if not flag:
         return df
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSISTED_MAX:
+        old = _PERSISTED.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass  # session already stopped — nothing to release
     return df
 
 
@@ -416,7 +428,12 @@ def simhash(
     ``simhash_hi`` (bits 60.., md5 hex[16:30]) — the wide form the blocked
     near-dup join needs for >=16-bit chunk keys at corpus scale. The default
     is the full 120-bit two-column form (what ``simhash_near_dups`` uses);
-    pass ``bits=60`` for the legacy single-column shape."""
+    pass ``bits=60`` for the legacy single-column shape.
+
+    CHANGED (round 5): the default widened 64 -> 120 (``SIMHASH_BITS``).
+    Callers that relied on the old default get a different schema
+    (``simhash_hi`` appears) and different hamming distances; pass ``bits``
+    explicitly — every in-repo caller and test does."""
     toks = _normalized_tokens(docs, id_col, text_col)
     nbits = min(bits, SIMHASH_BITS)
     hashed = toks.select(

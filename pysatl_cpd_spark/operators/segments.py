@@ -175,102 +175,108 @@ def encode_segments_adaptive(
 
 
 def encode_segments_colocated(
-    series_df: DataFrame, cps_df: DataFrame
+    series_df: DataFrame,
+    cps_df: DataFrame,
+    flush_segments: int = 8192,
+    validate: bool = False,
 ) -> DataFrame:
     """ZERO-EXCHANGE twin of ``encode_segments_adaptive`` for CO-LOCATED
     series (every partition holds complete series — a bucket-ingested table
     or any plan downstream of an explicit ``repartition(n, series_id)``,
-    same contract as cpd.detect_lockstep_colocated). The change-point
-    markers arrive by broadcast join (no shuffle, partitioning preserved)
-    and each partition encodes its own series in one mapInArrow pass — the
-    bundle repartition that dominated the adaptive variant's wall time at
-    scale (the codec itself is ~260k pts/s/core; the 9.6M-row shuffle was
-    the cost) disappears. Blobs are byte-identical to the adaptive/"plain"
-    variants (same encode_segment per segment; parity-tested)."""
+    same contract as cpd.detect_lockstep_colocated; ``validate=True`` runs
+    the debug-mode ``assert_colocated`` guard first). The change-point
+    markers arrive by broadcast join (no shuffle, partitioning preserved —
+    the streamed side of a BroadcastHashJoin keeps both its partitioning
+    and its row order) and each partition encodes its own series in one
+    mapInArrow pass — the bundle repartition that dominated the adaptive
+    variant's wall time at scale (the codec itself is ~260k pts/s/core; the
+    9.6M-row shuffle was the cost) disappears.
+
+    The per-partition sort runs in the JVM (``sortWithinPartitions`` after
+    the join — local, no exchange) and the Python side streams the sorted
+    batches ONE SERIES AT A TIME (operators/colocated.py): the round-6
+    variant's whole-partition Arrow copy + Python sort + per-column take
+    copies are gone, and since every segment is independent the encoder is
+    fully streaming — peak memory is one series plus ~``flush_segments``
+    output rows. Blobs are byte-identical to the adaptive/"plain" variants
+    (same encode_segment per segment; parity-tested)."""
+    from pysatl_cpd_spark.operators.colocated import (
+        assert_colocated,
+        iter_sorted_series,
+    )
+
+    if validate:
+        assert_colocated(series_df)
     markers = (
         cps_df.select(
             "series_id", F.col("change_point").alias("t"), F.lit(1).alias("_cp")
         )
         .distinct()
     )
-    joined = series_df.select("series_id", "t", "value").join(
-        F.broadcast(markers), on=["series_id", "t"], how="left"
+    joined = (
+        series_df.select("series_id", "t", "value")
+        .join(F.broadcast(markers), on=["series_id", "t"], how="left")
+        .sortWithinPartitions("series_id", "t")
     )
 
-    def run(batches):
-        import pyarrow as pa
-        import pyarrow.compute as pc
+    _OUT_COLS = (
+        "series_id", "segment_id", "n_points", "t_min", "t_max",
+        "min_value", "max_value", "first_value", "last_value", "blob",
+    )
 
-        batch_list = list(batches)
-        if not batch_list:
-            return
-        table = pa.Table.from_batches(batch_list).combine_chunks()
-        if table.num_rows == 0:  # zero-row batches still carry schema
-            return
-        order = pc.sort_indices(
-            table, sort_keys=[("series_id", "ascending"), ("t", "ascending")]
+    def _emit(out):
+        import pyarrow as pa
+
+        return pa.record_batch(
+            [
+                pa.array(out["series_id"], pa.string()),
+                pa.array(out["segment_id"], pa.int64()),
+                pa.array(out["n_points"], pa.int64()),
+                pa.array(out["t_min"], pa.int64()),
+                pa.array(out["t_max"], pa.int64()),
+                pa.array(out["min_value"], pa.float64()),
+                pa.array(out["max_value"], pa.float64()),
+                pa.array(out["first_value"], pa.float64()),
+                pa.array(out["last_value"], pa.float64()),
+                pa.array(out["blob"], pa.binary()),
+            ],
+            names=list(_OUT_COLS),
         )
-        sid_arr = pc.take(table.column("series_id"), order).combine_chunks()
-        ts = pc.take(table.column("t"), order).combine_chunks().to_numpy()
-        values = (
-            pc.take(table.column("value"), order)
-            .combine_chunks()
-            .to_numpy()
-            .astype(np.float64, copy=False)
-        )
-        cp = (
-            pc.take(table.column("_cp"), order)
-            .combine_chunks()
-            .fill_null(0)
-            .to_numpy()
-            .astype(np.int64, copy=False)
-        )
-        codes = pc.dictionary_encode(sid_arr).indices.to_numpy()
-        n = codes.shape[0]
-        new_series = np.empty(n, dtype=bool)
-        new_series[0] = True
-        new_series[1:] = codes[1:] != codes[:-1]
-        # identical split/segment-id law to encode_segments_adaptive.run
-        bounds = np.flatnonzero(new_series[1:] | (cp[1:] == 1)) + 1
-        cum = np.cumsum(cp)
-        out = {k: [] for k in (
-            "segment_id", "n_points", "t_min", "t_max",
-            "min_value", "max_value", "first_value", "last_value", "blob",
-        )}
-        sid_rows: list[int] = []
-        base = 0
-        for lo, hi in zip(
-            np.concatenate([[0], bounds]), np.concatenate([bounds, [n]])
-        ):
-            if new_series[lo]:
-                base = int(cum[lo]) - int(cp[lo])
-            seg_ts, seg_vals = ts[lo:hi], values[lo:hi]
-            sid_rows.append(int(lo))
-            out["segment_id"].append(int(cum[lo]) - base)
-            out["n_points"].append(int(hi - lo))
-            out["t_min"].append(int(seg_ts[0]))
-            out["t_max"].append(int(seg_ts[-1]))
-            out["min_value"].append(float(np.min(seg_vals)))
-            out["max_value"].append(float(np.max(seg_vals)))
-            out["first_value"].append(float(seg_vals[0]))
-            out["last_value"].append(float(seg_vals[-1]))
-            out["blob"].append(encode_segment(seg_ts, seg_vals))
-        yield from pa.table(
-            {
-                "series_id": pc.take(
-                    sid_arr, pa.array(sid_rows, pa.int64())
-                ).cast(pa.string()),
-                "segment_id": pa.array(out["segment_id"], pa.int64()),
-                "n_points": pa.array(out["n_points"], pa.int64()),
-                "t_min": pa.array(out["t_min"], pa.int64()),
-                "t_max": pa.array(out["t_max"], pa.int64()),
-                "min_value": pa.array(out["min_value"], pa.float64()),
-                "max_value": pa.array(out["max_value"], pa.float64()),
-                "first_value": pa.array(out["first_value"], pa.float64()),
-                "last_value": pa.array(out["last_value"], pa.float64()),
-                "blob": pa.array(out["blob"], pa.binary()),
-            }
-        ).to_batches()
+
+    def run(batches):
+        out = {k: [] for k in _OUT_COLS}
+        n_out = 0
+        for sid, cols in iter_sorted_series(batches, ("t", "value", "_cp")):
+            ts = cols["t"]
+            values = cols["value"].astype(np.float64, copy=False)
+            cp = cols["_cp"]
+            # identical split/segment-id law to encode_segments_adaptive.run,
+            # expressed per series: within one series the running base is the
+            # cumsum before its first row, i.e. 0 — segment_id = cum[lo]
+            bounds = np.flatnonzero(cp[1:] == 1) + 1
+            cum = np.cumsum(cp, dtype=np.int64)
+            n = ts.shape[0]
+            for lo, hi in zip(
+                np.concatenate([[0], bounds]), np.concatenate([bounds, [n]])
+            ):
+                seg_ts, seg_vals = ts[lo:hi], values[lo:hi]
+                out["series_id"].append(sid)
+                out["segment_id"].append(int(cum[lo]))
+                out["n_points"].append(int(hi - lo))
+                out["t_min"].append(int(seg_ts[0]))
+                out["t_max"].append(int(seg_ts[-1]))
+                out["min_value"].append(float(np.min(seg_vals)))
+                out["max_value"].append(float(np.max(seg_vals)))
+                out["first_value"].append(float(seg_vals[0]))
+                out["last_value"].append(float(seg_vals[-1]))
+                out["blob"].append(encode_segment(seg_ts, seg_vals))
+                n_out += 1
+            if n_out >= flush_segments:
+                yield _emit(out)
+                out = {k: [] for k in _OUT_COLS}
+                n_out = 0
+        if n_out:
+            yield _emit(out)
 
     return joined.mapInArrow(run, SEGMENT_SCHEMA)
 

@@ -233,7 +233,10 @@ def main() -> None:
     # per-rep normalized efficiency is the reported number — the north-rule
     # claim must not rest on the best run of a noisy set (round-6 judge
     # directive; this VM has multi-minute ±40% noise phases).
-    iso_reps = int(os.environ.get("SPARK_GRAFT_SCALING_ISO_REPS", "5"))
+    # clamp to >=1: the per-rep table and the median estimator below both
+    # assume at least one row, and discovering that only after the warm-up
+    # levels have run would waste the whole expensive session
+    iso_reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_ISO_REPS", "5")))
     iso: dict[int, dict] = {}
     iso_rep_rows: list[dict] = []
     for _ in range(iso_reps):

@@ -99,6 +99,48 @@ def test_every_query_has_oracle_or_is_known_rows_only():
     assert rows_only <= allowed_rows_only, rows_only
 
 
+def test_flagship_zero_exchange_plan(spark):
+    """The contract flagship (transcripts_cpd_rollup) runs the ZERO-EXCHANGE
+    detect+encode path: one explicit caller repartition on series_id pays the
+    only data shuffle, and neither MapInArrow op adds an exchange on its
+    streamed side. Pinned composition of the executed plan's UNIQUE
+    exchanges (the cached-series subtree prints once per InMemoryTableScan,
+    so dedupe by plan_id):
+
+      - 3 inside the cached series feed (the caller's series_id
+        REPARTITION_BY_NUM, the turn_rate_series window's conv_id
+        ENSURE_REQUIREMENTS, the synthesis range repartition);
+      - 2 ENSURE_REQUIREMENTS on BROADCAST BUILD sides only (the CUSUM
+        prefilter's window, the segment markers' distinct) — both over the
+        tiny alarmed/change-point sets, never the series data;
+      - 2 BroadcastExchanges (the left-semi gate, the markers join).
+
+    The salted dispatch would add a 'bucket' hashpartitioning over the full
+    series data — its absence IS the zero-exchange property."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry.queries()["transcripts_cpd_rollup"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert plan.count("MapInArrow") == 2, plan[:800]
+    exchanges = {
+        m.group(0)
+        for m in re.finditer(r"Exchange \w+[^\n]*", plan)
+    }
+    hash_ex = sorted(e for e in exchanges if "hashpartitioning" in e)
+    assert len(hash_ex) == 5, hash_ex
+    assert not any("bucket" in e for e in hash_ex), hash_ex  # no salted path
+    ensure = [e for e in hash_ex if "ENSURE_REQUIREMENTS" in e]
+    # both ENSURE exchanges are build-side-only: one keyed by conv_id (the
+    # series window, inside the cached feed), the others by series_id(+t)
+    # over prefilter/markers — never a repartition of the series feed beyond
+    # the caller's own REPARTITION_BY_NUM
+    assert len(ensure) == 3, hash_ex
+    assert sum("REPARTITION_BY_NUM" in e for e in hash_ex) == 2, hash_ex
+
+
 def test_dist_zip_matches_working_tree():
     """dist/pysatl_cpd_spark.zip (the spark-submit --py-files artifact) must
     contain EVERY package .py at the working tree's exact bytes — a stale

@@ -505,3 +505,117 @@ def test_lockstep_bare_hypothesis_parity(series):
         )
         want = det.process_series(np.asarray(s, dtype=np.float64))
         assert got[i] == want, f"series {i} len {len(s)}"
+
+
+def _drop_sequential(values: np.ndarray, thr: float = 0.3) -> list[int]:
+    from pysatl_cpd_spark.detectors import DropDetector, GaussianConjugate
+
+    det = BayesianOnlineDetector(
+        ConstantHazard(RATE),
+        GaussianConjugate(),
+        LSS,
+        DropDetector(thr),
+        ArgmaxLocalizer(),
+    )
+    return det.process_series(np.asarray(values, dtype=np.float64))
+
+
+def test_lockstep_drop_detector_parity():
+    """detector="drop" == BayesianOnlineDetector(..., DropDetector, ...)
+    .process_series (the cpd_detect_counts contract stack), change point for
+    change point — including the drop rule's quirks: _prev records once per
+    (re)learn and never updates; a collapse short-circuits the detect call."""
+    rng = np.random.default_rng(31)
+    series = [
+        _gauss_series(rng, 3),
+        _gap_series(rng, 3),
+        np.concatenate([rng.normal(0, 1, 80), rng.normal(8, 1, 80)]),
+        np.zeros(100),  # flat: collapse paths
+        np.concatenate([np.zeros(60), np.ones(60) * 50]),  # hard collapse
+        rng.normal(0, 1, 10),  # too short to finish training
+        rng.normal(0, 1, LSS),  # exactly one training window
+        rng.normal(0, 1, LSS + 1),  # one post-training obs (records _prev)
+    ]
+    got = LockstepLinearBOCPD(
+        RATE, LSS, 0.3, model="gauss", bare=True, detector="drop"
+    ).process_many(series)
+    for i, s in enumerate(series):
+        assert got[i] == _drop_sequential(s), f"series {i}"
+
+
+@pytest.mark.parametrize("seed", [41, 42, 43])
+def test_lockstep_drop_detector_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    series = []
+    for _ in range(30):
+        n_seg = int(rng.integers(1, 6))
+        if rng.random() < 0.5:
+            series.append(_gap_series(rng, n_seg, 25, 120))
+        else:
+            series.append(_gauss_series(rng, n_seg))
+    for thr in (0.1, 0.3):
+        got = LockstepLinearBOCPD(
+            RATE, LSS, thr, model="gauss", bare=True, detector="drop"
+        ).process_many(series)
+        for i, s in enumerate(series):
+            assert got[i] == _drop_sequential(s, thr), (
+                f"seed {seed} thr {thr} series {i}"
+            )
+
+
+@settings(max_examples=20, deadline=None)
+@given(_series_batch())
+def test_lockstep_drop_hypothesis_parity(series):
+    """Property for the cpd_detect_counts stack (bare gauss + DropDetector):
+    lockstep == sequential on arbitrary adversarial batches."""
+    got = LockstepLinearBOCPD(
+        RATE, LSS, 0.3, model="gauss", bare=True, detector="drop"
+    ).process_many(series)
+    for i, s in enumerate(series):
+        assert got[i] == _drop_sequential(s), f"series {i} len {len(s)}"
+
+
+def test_detect_counts_lockstep_operator_parity(spark):
+    """detect_counts_lockstep == detect_counts (sequential kernel) row for
+    row — INCLUDING series with zero change points, which a naive
+    groupBy-count over detections would drop."""
+    from pysatl_cpd_spark.detectors import (
+        DropDetector,
+        GaussianConjugate as GC,
+    )
+    from pysatl_cpd_spark.operators.cpd import (
+        detect_counts,
+        detect_counts_lockstep,
+    )
+
+    rng = np.random.default_rng(77)
+    rows = []
+    for s in range(8):
+        # half the series flat-ish (zero detections), half with level shifts
+        if s % 2:
+            vals = rng.normal(0, 1, 90)
+        else:
+            vals = np.concatenate(
+                [rng.normal(0, 1, 60), rng.normal(9, 1, 60)]
+            )
+        rows += [
+            (f"s{s}", int(t), float(v)) for t, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(rows, "series_id string, t long, value double")
+
+    seq_factory = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(RATE), GC(), LSS, DropDetector(0.3), ArgmaxLocalizer()
+    )
+    lock_factory = lambda: LockstepLinearBOCPD(  # noqa: E731
+        RATE, LSS, 0.3, model="gauss", bare=True, detector="drop"
+    )
+    want = {
+        (r.series_id, r.n_change_points)
+        for r in detect_counts(df, seq_factory).collect()
+    }
+    got = {
+        (r.series_id, r.n_change_points)
+        for r in detect_counts_lockstep(df, lock_factory, n_buckets=3).collect()
+    }
+    assert got == want and len(got) == 8
+    assert any(c == 0 for _, c in got)  # the zero-count rows are present
