@@ -390,38 +390,49 @@ def detect_offline_lockstep(
 def detect_online_instrumented(
     series_df: DataFrame,
     algorithm_factory: Callable[[], SeriesAlgorithm],
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Online detection with per-series metrics rows (north-rule observability:
     every unit of work emits lineage + metrics). Output:
-    (series_id, n_points, n_change_points, kernel_ms, change_points array)."""
+    (series_id, n_points, n_change_points, kernel_ms, change_points array).
+
+    BUCKETED dispatch (round 7): one grouped-map call carries a whole salt
+    bucket of complete series instead of one UDF call per series — the exact
+    per-group Arrow/scheduling overhead ``_bucketed`` documents (0.09 s of
+    kernel inside 4.3 s of dispatch on the main path). ``kernel_ms`` stays
+    PER-SERIES: the kernel call is timed around each series inside the
+    bucket, so the observability contract is unchanged (parity vs the
+    per-series dispatch asserted in tests/test_instrumented.py; only the
+    timing column is dispatch-dependent by nature). ``n_buckets=0`` opts out
+    of salting for co-located input (same contract as ``_bucketed``)."""
     import time
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("t")
-        values = pdf["value"].to_numpy(dtype=np.float64)
-        index = pdf["t"].to_numpy()
-        t0 = time.perf_counter()
-        cps = algorithm_factory().process_series(values)
-        kernel_ms = (time.perf_counter() - t0) * 1000.0
-        cps = [int(index[c]) for c in cps if c < len(index)]
-        return pd.DataFrame(
-            {
-                "series_id": [pdf["series_id"].iloc[0]],
-                "n_points": [len(values)],
-                "n_change_points": [len(cps)],
-                "kernel_ms": [kernel_ms],
-                "change_points": [cps],
-            }
-        )
+        pdf = pdf.sort_values(["series_id", "t"])
+        out = {
+            "series_id": [], "n_points": [], "n_change_points": [],
+            "kernel_ms": [], "change_points": [],
+        }
+        for sid, grp in pdf.groupby("series_id", sort=False):
+            values = grp["value"].to_numpy(dtype=np.float64)
+            index = grp["t"].to_numpy()
+            t0 = time.perf_counter()
+            cps = algorithm_factory().process_series(values)
+            kernel_ms = (time.perf_counter() - t0) * 1000.0
+            cps = [int(index[c]) for c in cps if c < len(index)]
+            out["series_id"].append(sid)
+            out["n_points"].append(len(values))
+            out["n_change_points"].append(len(cps))
+            out["kernel_ms"].append(kernel_ms)
+            out["change_points"].append(cps)
+        return pd.DataFrame(out)
 
-    return (
-        _prepared(series_df)
-        .groupBy("series_id")
-        .applyInPandas(
-            run,
-            "series_id string, n_points long, n_change_points long, "
-            "kernel_ms double, change_points array<long>",
-        )
+    bucketed, nb = _bucketed(series_df, n_buckets)
+    key = "series_id" if nb == 0 else "bucket"
+    return bucketed.groupBy(key).applyInPandas(
+        run,
+        "series_id string, n_points long, n_change_points long, "
+        "kernel_ms double, change_points array<long>",
     )
 
 

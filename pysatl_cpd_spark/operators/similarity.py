@@ -148,12 +148,26 @@ def lsh_cosine_topk(
         4 planes × 4 tables + multiprobe    → 0.92 @ 78%  (contract default)
         4 planes × 8 tables + multiprobe    → 1.00 @ 95%
 
-    The high candidate fractions are a SMALL-CORPUS artifact: 4 planes =
-    16 buckets, so probing 5 of them per table must touch most of a
-    500-vector corpus. At real corpus sizes the plane count rises with
-    log(N) (buckets ~ N / target-bucket-size), and hamming-1 multi-probe
-    keeps its recall boost while the probed fraction shrinks to
-    (n_planes + 1) / 2^n_planes. Multi-probe multiplies only the QUERY
+    And on the sf0.1 table (2000 vectors, 50 queries —
+    scripts/ann_sweep.py, round 7), with n_planes scaled ~log2(N/bucket)
+    per the scaling argument below:
+
+        4 planes × 4 tables + multiprobe    → 0.95 @ 77%  (sf0.01 default, unscaled)
+        5 planes × 4 tables                 → 0.35 @ 13%
+        5 planes × 4 tables + multiprobe    → 0.88 @ 57%
+        6 planes × 4 tables + multiprobe    → 0.75 @ 37%
+        6 planes × 8 tables + multiprobe    → 0.95 @ 59%
+        7 planes × 8 tables + multiprobe    → 0.85 @ 40%
+
+    The 4× corpus growth bought the SAME 0.95 recall at 59% instead of 77%
+    of pairs (6 planes × 8 tables vs the unscaled default) — the operating
+    point improves exactly as the scaling argument predicts: at matched
+    recall, growing n_planes with log(N) and recovering recall with
+    tables/multi-probe shrinks the candidate fraction. The fractions stay
+    high in absolute terms because 2000 vectors is still a SMALL corpus:
+    4-7 planes = 16-128 buckets, so a 5-9-key probe sweep per table still
+    touches a large bucket share. At real corpus sizes the probed fraction
+    tends to (n_planes + 1) / 2^n_planes per table (6.3% at 7 planes). Multi-probe multiplies only the QUERY
     side of each bucket join by
     (n_planes + 1) probe keys — the corpus side is hashed once per table —
     so candidate cost grows with the (tiny) query set, not the corpus.

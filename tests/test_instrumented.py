@@ -40,3 +40,42 @@ def test_instrumented_matches_plain(spark):
     assert all(r["n_points"] == 500 for r in inst)
     assert all(r["kernel_ms"] > 0 for r in inst)
     assert all(r["n_change_points"] == len(r["change_points"]) for r in inst)
+
+
+def test_instrumented_bucketed_parity(spark):
+    """The bucketed dispatch (many series per grouped-map call) emits the
+    same per-series rows as per-series grouping — every column except the
+    dispatch-dependent kernel_ms timing — across bucket counts including
+    buckets that force series to share a UDF call."""
+    rows = []
+    for seed in range(6):
+        np.random.seed(seed)
+        data = np.concatenate(
+            [np.random.normal(0, 1, 80), np.random.normal(6, 1, 80)]
+        )
+        rows.extend((f"s{seed}", t, float(v)) for t, v in enumerate(data))
+    df = spark.createDataFrame(rows, "series_id string, t long, value double")
+    factory = lambda: BayesianOnlineDetector(  # noqa: E731
+        ConstantHazard(1.0 / (1.0 - 0.5 ** (1.0 / 500))),
+        GaussianConjugate(),
+        20,
+        ThresholdDetector(0.04),
+        ArgmaxLocalizer(),
+    )
+
+    def key_rows(collected):
+        return {
+            (
+                r["series_id"], r["n_points"], r["n_change_points"],
+                tuple(r["change_points"]),
+            )
+            for r in collected
+        }
+
+    per_series = key_rows(
+        detect_online_instrumented(df, factory, n_buckets=0).collect()
+    )
+    for nb in (2, 13):
+        got = detect_online_instrumented(df, factory, n_buckets=nb).collect()
+        assert key_rows(got) == per_series and len(got) == 6
+        assert all(r["kernel_ms"] > 0 for r in got)
