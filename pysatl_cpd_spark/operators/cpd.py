@@ -475,15 +475,36 @@ def detect_counts_lockstep(
     dispatch of ``detect_online_lockstep`` (same AQE-proof bucket
     repartition), but each bucket emits ONE ``(series_id, n_change_points)``
     row per series — including zero-count series, which a groupBy-count over
-    the change-point rows would silently drop. Counts equal
+    the change-point rows would silently drop. Counts are RAW FIRE COUNTS,
     ``len(sequential.process_series(values))`` exactly (the kernel is
-    bit-identical per series; out-of-index change points are filtered with
-    the same ``c < len`` guard the localized dispatch applies)."""
+    bit-identical per series): the reference's count mode sums every
+    ``detect()`` fire, so — unlike the LOCALIZED dispatches — no
+    ``c < len`` index guard is applied here, matching ``detect_counts``. A
+    posterior-collapse fire at a series' final observation (localizes past
+    the end; only reachable with overflow-magnitude values) therefore
+    counts, as it does sequentially. Falls back to a pandas grouped-map
+    (identical output) when ``applyInArrow`` is unavailable (Spark < 4),
+    like ``detect_online_lockstep``."""
     spark = series_df.sparkSession
     if n_buckets is None:
         n_buckets = 2 * spark.sparkContext.defaultParallelism
     if n_buckets <= 0:
         raise ValueError("detect_counts_lockstep requires n_buckets >= 1")
+
+    def count_runs(v_np, codes):
+        """Sorted values + series codes -> (first-row offsets, fire counts)."""
+        out_rows: list[int] = []
+        out_counts: list[int] = []
+        if codes.shape[0]:
+            bounds = np.flatnonzero(np.diff(codes)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [codes.shape[0]]))
+            values = [v_np[s:e] for s, e in zip(starts, ends)]
+            all_cps = lockstep_factory().process_many(values)
+            for s, cps in zip(starts, all_cps):
+                out_rows.append(int(s))
+                out_counts.append(len(cps))
+        return out_rows, out_counts
 
     def run_arrow(table):
         import pyarrow as pa
@@ -500,17 +521,7 @@ def detect_counts_lockstep(
             .astype(np.float64, copy=False)
         )
         codes = pc.dictionary_encode(sid).indices.to_numpy()
-        out_rows: list[int] = []
-        out_counts: list[int] = []
-        if codes.shape[0]:
-            bounds = np.flatnonzero(np.diff(codes)) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [codes.shape[0]]))
-            values = [v_np[s:e] for s, e in zip(starts, ends)]
-            all_cps = lockstep_factory().process_many(values)
-            for s, e, cps in zip(starts, ends, all_cps):
-                out_rows.append(int(s))
-                out_counts.append(sum(1 for c in cps if c < e - s))
+        out_rows, out_counts = count_runs(v_np, codes)
         return pa.table(
             {
                 "series_id": pc.take(sid, pa.array(out_rows, pa.int64())).cast(
@@ -520,14 +531,32 @@ def detect_counts_lockstep(
             }
         )
 
+    def run_pandas(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["series_id", "t"])
+        sid = pdf["series_id"].to_numpy()
+        codes = np.zeros(sid.shape[0], dtype=np.int64)
+        if sid.shape[0]:
+            codes[1:] = np.cumsum(sid[1:] != sid[:-1])
+        out_rows, out_counts = count_runs(
+            pdf["value"].to_numpy(dtype=np.float64), codes
+        )
+        return pd.DataFrame(
+            {
+                "series_id": pd.Series(sid[out_rows], dtype=str),
+                "n_change_points": pd.Series(out_counts, dtype="int64"),
+            }
+        )
+
     bucketed = (
         _prepared(series_df)
         .withColumn("bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)))
         .repartition(n_buckets, "bucket")  # AQE-coalesce-proof (see _bucketed)
     )
-    return bucketed.groupBy("bucket").applyInArrow(
-        run_arrow, "series_id string, n_change_points long"
-    )
+    grouped = bucketed.groupBy("bucket")
+    schema = "series_id string, n_change_points long"
+    if hasattr(grouped, "applyInArrow"):
+        return grouped.applyInArrow(run_arrow, schema)
+    return grouped.applyInPandas(run_pandas, schema)
 
 
 def detect_offline_multivariate(
