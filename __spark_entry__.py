@@ -1082,6 +1082,29 @@ def cpd_bocpd_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cpd_bocpd_offline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline-BOCPD detect (COUNT) mode — reference surface D2
+    (cpd_core.py detect path): the no-rewind counting trajectory of the
+    offline detector, batched through the lockstep kernel
+    (``LockstepBayesianOffline(mode="detect")``, differential-tested against
+    the sequential ``BayesianOffline.detect`` in tests/test_lockstep_offline
+    .py) and dispatched via ``detect_counts_lockstep`` — one row per series,
+    zero counts included. Params (learn=10, rate=50, thr=0.04) make the
+    sf0.01 gate non-vacuous: 47/150 series fire (defaults fired on 2)."""
+    from pysatl_cpd_spark.detectors.lockstep_offline import (
+        LockstepBayesianOffline,
+    )
+    from pysatl_cpd_spark.operators.cpd import detect_counts_lockstep
+
+    return detect_counts_lockstep(
+        _event_series(spark, sf_dir),
+        lambda: LockstepBayesianOffline(
+            learning_steps=10, rate=50.0, threshold=0.04, mode="detect"
+        ),
+        n_buckets=spark.sparkContext.defaultParallelism,
+    )
+
+
 def cpd_bocpd_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
     from pysatl_cpd_spark.operators.cpd import detect_online_lockstep
@@ -2387,6 +2410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_user_set_ops": event_user_set_ops,
         "rollup_topk_daily": rollup_topk_daily,
         "text_quality": text_quality,
+        # round 8: offline-BOCPD COUNT trajectory (D2 detect path) —
+        # beyond-window, value-checked via its own transcription oracle
+        "cpd_bocpd_offline_counts": cpd_bocpd_offline_counts,
     }
 
 
@@ -2456,6 +2482,11 @@ def _transcription_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, s
     }
     out["cpd_detect_counts"] = _values_cp_sql(
         expected_count_rows(sf_dir), col="n_change_points"
+    )
+    from pysatl_cpd_spark.oracle.transcriptions import expected_offline_count_rows
+
+    out["cpd_bocpd_offline_counts"] = _values_cp_sql(
+        expected_offline_count_rows(sf_dir), col="n_change_points"
     )
     from pysatl_cpd_spark.oracle.transcriptions import knn_multivariate_rows
 

@@ -26,8 +26,16 @@ Sequential semantics reproduced exactly (bayesian_offline.py:68-99):
     a collapse localizes to t without rewinding.
 
 Only the Gaussian-conjugate likelihood (the ``BayesianOffline`` default) is
-supported; ``localize`` semantics only (the reference's ``detect`` counting
-mode follows a DIFFERENT trajectory — no rewind — and stays sequential).
+supported. Both reference trajectories are available:
+
+  - ``mode="localize"`` (default): fire → localize → REWIND to the change
+    point and relearn — ``BayesianOffline.localize`` bit for bit;
+  - ``mode="detect"``: the reference's counting trajectory (cpd_core.py
+    detect path) — fire → count → relearn FROM THE CURRENT t, no rewind.
+    Every fire is bookkept exactly like a collapse (record ``t``, cursor
+    unchanged), so the scan is strictly simpler than localize; the emitted
+    per-lane list holds the fire times and its length IS
+    ``BayesianOffline.detect(window)`` (differential-tested).
 """
 
 from __future__ import annotations
@@ -56,13 +64,23 @@ class LockstepBayesianOffline:
     ConstantHazard(rate), ThresholdDetector(threshold), ArgmaxLocalizer())``
     with ``process_many(list[series]) -> list[list[int]]`` — the lockstep
     kernel contract shared with ``LockstepLinearBOCPD`` / ``LockstepCusum``,
-    so it drops into ``detect_offline_lockstep`` unchanged."""
+    so it drops into ``detect_offline_lockstep`` unchanged.
+
+    ``mode="detect"`` runs the reference's COUNTING trajectory instead
+    (``BayesianOffline.detect``): no rewind — after any fire (threshold or
+    collapse) the scan relearns from the current ``t`` — and the emitted
+    list per lane holds the fire times, so ``len(cps)`` equals the
+    sequential detect count exactly; drop it into ``detect_counts_lockstep``
+    for the distributed count dispatch."""
 
     learning_steps: int = 50
     rate: float = DEFAULT_HAZARD_RATE
     threshold: float = 0.04
+    mode: str = "localize"
 
     def __post_init__(self) -> None:
+        if self.mode not in ("localize", "detect"):
+            raise ValueError(f"mode must be localize|detect, got {self.mode!r}")
         _verify_row_sum_contract()
 
     def process_many(self, series: "list[FloatArray]") -> "list[list[int]]":
@@ -188,7 +206,10 @@ class LockstepBayesianOffline:
                 t = int(cursor[lane])
                 n = int(lens[lane])
                 if t < n - 1:
-                    if collapsed[row]:
+                    if self.mode == "detect" or collapsed[row]:
+                        # counting trajectory (and collapse in either mode):
+                        # record the fire time, cursor unchanged — relearn
+                        # resumes from the current t (no rewind)
                         cps[lane].append(t)
                     else:
                         # localize over growth[:gap] = new posterior minus

@@ -49,19 +49,30 @@ def iter_sorted_series(
     (``sortWithinPartitions`` upstream), so each series is one contiguous
     run across the batch sequence. Null numeric values are filled with 0
     (only the optional marker column ``_cp`` is ever nullable here).
+
+    Key column may be a string OR an integer (the compacted dense-code path,
+    operators/keycompact.py): integer keys skip the per-batch dictionary
+    hash — boundaries come straight from ``np.diff`` on the zero-copy numpy
+    view, and the yielded series id is the python int.
     """
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    pending_sid: "str | None" = None
+    pending_sid: "object | None" = None
     pending: "dict[str, list[np.ndarray]]" = {}
     for batch in batches:
         if batch.num_rows == 0:  # zero-row batches still carry schema
             continue
         schema = batch.schema
         sid_arr = batch.column(schema.get_field_index(key))
-        enc = pc.dictionary_encode(sid_arr)
-        codes = enc.indices.to_numpy()
-        vocab = enc.dictionary.to_pylist()
+        if pa.types.is_integer(sid_arr.type):
+            keys_np = sid_arr.to_numpy()
+            codes = keys_np  # diff on the raw keys finds the same bounds
+            vocab = None
+        else:
+            enc = pc.dictionary_encode(sid_arr)
+            codes = enc.indices.to_numpy()
+            vocab = enc.dictionary.to_pylist()
         cols_np: "dict[str, np.ndarray]" = {}
         for c in numeric_cols:
             arr = batch.column(schema.get_field_index(c))
@@ -72,7 +83,7 @@ def iter_sorted_series(
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [codes.shape[0]]))
         for s, e in zip(starts, ends):
-            name = vocab[codes[s]]
+            name = int(codes[s]) if vocab is None else vocab[codes[s]]
             if name != pending_sid:
                 if pending_sid is not None:
                     yield pending_sid, {c: _cat(v) for c, v in pending.items()}

@@ -291,6 +291,7 @@ def detect_lockstep_colocated(
     lockstep_factory: "Callable[[], object]",
     flush_points: int = 4_000_000,
     validate: bool = False,
+    key_type: str = "string",
 ) -> DataFrame:
     """ZERO-EXCHANGE lockstep detection over co-located input: the caller
     asserts every partition holds only COMPLETE series — true for a table
@@ -322,12 +323,20 @@ def detect_lockstep_colocated(
     AQE's byte-based coalescing may merge the small-but-Python-heavy
     partitions down to a handful and serialize the kernel — the same trap
     ``_bucketed`` documents. Explicit-repartition or storage-bucketed
-    inputs are exempt; that is the intended use."""
+    inputs are exempt; that is the intended use.
+
+    ``key_type="long"`` accepts a series_id column of dense int64 codes
+    (operators/keycompact.py — the collision-free key compaction that
+    removes the repeated string column from the Arrow socket bytes) and
+    emits the same type back; re-attach the string id afterwards with
+    ``attach_series_id``."""
     from pysatl_cpd_spark.operators.colocated import (
         assert_colocated,
         iter_sorted_series,
     )
 
+    if key_type not in ("string", "long"):
+        raise ValueError(f"key_type must be string|long, got {key_type!r}")
     if validate:
         assert_colocated(series_df)
     pruned = _prepared(series_df).sortWithinPartitions("series_id", "t")
@@ -335,7 +344,8 @@ def detect_lockstep_colocated(
     def run(batches):
         import pyarrow as pa
 
-        buf: "list[tuple[str, np.ndarray, np.ndarray]]" = []
+        key_pa = pa.string() if key_type == "string" else pa.int64()
+        buf: "list[tuple[object, np.ndarray, np.ndarray]]" = []
         buf_pts = 0
 
         def flush():
@@ -343,7 +353,7 @@ def detect_lockstep_colocated(
             if not buf:
                 return None
             all_cps = lockstep_factory().process_many([v for _, _, v in buf])
-            ids: list[str] = []
+            ids: list = []
             cps_out: list[int] = []
             for (sid, t_np, _), cps in zip(buf, all_cps):
                 for c in cps:
@@ -354,7 +364,7 @@ def detect_lockstep_colocated(
             if not ids:
                 return None
             return pa.record_batch(
-                [pa.array(ids, pa.string()), pa.array(cps_out, pa.int64())],
+                [pa.array(ids, key_pa), pa.array(cps_out, pa.int64())],
                 names=["series_id", "change_point"],
             )
 
@@ -370,7 +380,7 @@ def detect_lockstep_colocated(
         if out is not None:
             yield out
 
-    return pruned.mapInArrow(run, CP_SCHEMA)
+    return pruned.mapInArrow(run, f"series_id {key_type}, change_point long")
 
 
 def detect_offline_lockstep(

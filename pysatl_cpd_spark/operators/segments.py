@@ -179,6 +179,7 @@ def encode_segments_colocated(
     cps_df: DataFrame,
     flush_segments: int = 8192,
     validate: bool = False,
+    key_type: str = "string",
 ) -> DataFrame:
     """ZERO-EXCHANGE twin of ``encode_segments_adaptive`` for CO-LOCATED
     series (every partition holds complete series — a bucket-ingested table
@@ -205,6 +206,8 @@ def encode_segments_colocated(
         iter_sorted_series,
     )
 
+    if key_type not in ("string", "long"):
+        raise ValueError(f"key_type must be string|long, got {key_type!r}")
     if validate:
         assert_colocated(series_df)
     markers = (
@@ -227,9 +230,10 @@ def encode_segments_colocated(
     def _emit(out):
         import pyarrow as pa
 
+        key_pa = pa.string() if key_type == "string" else pa.int64()
         return pa.record_batch(
             [
-                pa.array(out["series_id"], pa.string()),
+                pa.array(out["series_id"], key_pa),
                 pa.array(out["segment_id"], pa.int64()),
                 pa.array(out["n_points"], pa.int64()),
                 pa.array(out["t_min"], pa.int64()),
@@ -278,7 +282,12 @@ def encode_segments_colocated(
         if n_out:
             yield _emit(out)
 
-    return joined.mapInArrow(run, SEGMENT_SCHEMA)
+    schema = (
+        SEGMENT_SCHEMA
+        if key_type == "string"
+        else SEGMENT_SCHEMA.replace("series_id string", "series_id long", 1)
+    )
+    return joined.mapInArrow(run, schema)
 
 
 def compact_segments(encoded: DataFrame, min_points: int = 4096) -> DataFrame:

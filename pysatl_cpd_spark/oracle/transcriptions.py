@@ -392,6 +392,51 @@ def offline_cps(x: np.ndarray, learn_n: int, rate: float, thr: float) -> list[in
     return cps
 
 
+def offline_count(x: np.ndarray, learn_n: int, rate: float, thr: float) -> int:
+    """Counting trajectory of the offline detector (reference detect mode):
+    identical recursion, but a fire only increments the count — NO rewind,
+    the next learn window starts at the current t."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    like = _TGauss()
+    count = 0
+    t = 0
+
+    def reset(at: int) -> np.ndarray:
+        like.clear()
+        g = np.zeros(max(n - at, 0))
+        if g.shape[0] > 0:
+            g[0] = 1.0
+        return g
+
+    growth = reset(0)
+    collapsed = False
+    while t + learn_n < n:
+        like.learn(x[t : t + learn_n])
+        t += learn_n - 1
+        gap = 0
+        while t < n - 1 and not collapsed and not bool(growth[gap] < thr):
+            obs = float(x[t])
+            t += 1
+            gap += 1
+            pred = like.predict(obs)
+            if np.count_nonzero(pred) == 0:
+                collapsed = True
+                continue
+            hz = np.full(gap, 1.0 / rate)
+            cp_prob = float(np.sum(growth[:gap] * pred * hz))
+            growth[1 : gap + 1] = growth[:gap] * pred * (1.0 - hz)
+            growth[0] = cp_prob
+            evidence = float(np.sum(growth[: gap + 2]))
+            growth[: gap + 2] /= evidence
+            like.update(obs)
+        if t < n - 1:
+            count += 1
+            growth = reset(t)
+            collapsed = False
+    return count
+
+
 # ---------------------------------------------------------------------------
 # windowed detectors (scrubber law + per-window kernels)
 # ---------------------------------------------------------------------------
@@ -641,3 +686,16 @@ def expected_count_rows(sf_dir: str) -> list[tuple[str, int]]:
         cps = online_cps(series[sid], _TGauss, 20, RATE_DEFAULT, _DropFire(0.3))
         rows.append((sid, len(cps)))
     return rows
+
+
+def expected_offline_count_rows(sf_dir: str) -> list[tuple[str, int]]:
+    """(series_id, n_change_points) for cpd_bocpd_offline_counts — the
+    offline detector's COUNT trajectory (no rewind), one row per series,
+    zero counts included. Params chosen so the sf0.01 gate is non-vacuous:
+    (learn_n=10, rate=50, thr=0.04) fires on 47/150 series (measured);
+    the defaults fired on only 2."""
+    series = events_series_arrays(sf_dir)
+    return [
+        (sid, offline_count(series[sid], learn_n=10, rate=50.0, thr=0.04))
+        for sid in series
+    ]

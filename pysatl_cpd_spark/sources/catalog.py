@@ -3,7 +3,7 @@
 The engine's target input shape (BASELINE.json input_hint) is an Iceberg
 table of multi-turn transcripts. This container ships no Iceberg runtime jar
 (and has no network to fetch one — DNS resolution to repo1.maven.org/pypi
-re-probed and still blocked in rounds 4, 5, 6 and 7), so the Iceberg branch is
+re-probed and still blocked in rounds 4, 5, 6, 7 and 8), so the Iceberg branch is
 env-gated the same way real deployments gate it: it activates when the
 session has an Iceberg-capable catalog configured (``ICEBERG_SUBMIT_CONF``
 below is the spark-submit recipe). Everything downstream of this module consumes plain

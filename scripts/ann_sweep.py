@@ -11,6 +11,12 @@ reflects how the operator is meant to be tuned as the corpus grows.
 Usage: python scripts/ann_sweep.py [sf_dir] [n_queries]
 Prints one row per config: recall@5, candidate fraction (distinct candidate
 pairs / n_queries*(N-1)), and the config.
+
+``sf_dir`` may also be ``synthetic:<N>`` (round 8): a seeded in-engine
+corpus of N 64-dim vectors drawn from 200 Gaussian clusters (no external
+data) — the third corpus-size point that turns the 500 -> 2000 candidate-
+fraction trend into a measured curve. Configs auto-extend with
+n_planes ~ log2(N / 128) when N > 4000.
 """
 
 from __future__ import annotations
@@ -76,13 +82,45 @@ def recall_at_k(corpus, queries, approx) -> float:
     return float(row["r"])
 
 
+def synthetic_embeddings(spark, n: int, n_clusters: int = 200, seed: int = 42):
+    """Seeded 64-dim cluster-mixture corpus generated executor-side (no
+    external data): cluster = vec_id mod n_clusters, point = center + 0.35
+    sigma noise — enough structure that top-k neighbors are non-trivial."""
+
+    def gen(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        rng_c = np.random.default_rng(seed)
+        centers = rng_c.normal(size=(n_clusters, DIM))
+        for pdf in pdfs:
+            ids = pdf["id"].to_numpy()
+            out_vecs = []
+            for i in ids:
+                rng = np.random.default_rng(seed * 1_000_003 + int(i))
+                c = centers[int(i) % n_clusters]
+                out_vecs.append(
+                    (c + 0.35 * rng.normal(size=DIM)).astype(float).tolist()
+                )
+            yield pd.DataFrame({"vec_id": ids, "embedding": out_vecs})
+
+    return (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     spark = get_spark(cores=8)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    ).cache()
+    if sf_dir.startswith("synthetic:"):
+        emb = synthetic_embeddings(spark, int(sf_dir.split(":")[1])).cache()
+    else:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        ).cache()
     n = emb.count()
     queries = emb.filter(F.col("vec_id") < n_queries)
     print(f"# corpus={n} queries={n_queries} dim={DIM} k={K} ({sf_dir})")
@@ -95,6 +133,8 @@ def main() -> None:
         (6, 8, True),
         (7, 8, True),
     ]
+    if n > 4000:  # large corpus: extend per the log2(N/128) scaling rule
+        configs += [(8, 8, True), (9, 8, True), (9, 16, True)]
     for planes, tables, mp in configs:
         approx = lsh_cosine_topk(
             emb, queries, dim=DIM, k=K, n_planes=planes, n_tables=tables,

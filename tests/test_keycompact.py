@@ -1,0 +1,129 @@
+"""Dense-int key compaction (operators/keycompact.py) must be transparent:
+the coded colocated detect/encode pipelines, after re-attaching the string
+id, produce rows IDENTICAL to the string-keyed paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
+from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
+from pysatl_cpd_spark.operators.keycompact import (
+    attach_series_id,
+    compact_series_key,
+    series_key_dim,
+)
+from pysatl_cpd_spark.operators.segments import encode_segments_colocated
+
+RATE = 1.0 / (1.0 - 0.5 ** (1.0 / 500))
+
+
+# lambda, not def: cloudpickle ships lambdas by value, while a named
+# test-module function pickles by reference and the Python workers cannot
+# import the tests package
+_factory = lambda: LockstepLinearBOCPD(  # noqa: E731
+    RATE, 20, 0.04, model="gauss", bare=True
+)
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for s in range(12):
+        n_seg = 1 + s % 3
+        parts = [
+            rng.normal(6.0 * k, 1.0, size=60 + 10 * (s % 4))
+            for k in range(n_seg)
+        ]
+        v = np.concatenate(parts)
+        rows += [(f"conv-{s:04d}", int(t), float(x)) for t, x in enumerate(v)]
+    return spark.createDataFrame(
+        rows, "series_id string, t long, value double"
+    ).cache()
+
+
+def test_dim_is_dense_deterministic_and_collision_free(spark, series_df):
+    dim1 = {r.series_id: r.code for r in series_key_dim(series_df).collect()}
+    dim2 = {r.series_id: r.code for r in series_key_dim(series_df).collect()}
+    assert dim1 == dim2  # deterministic across evaluations
+    assert sorted(dim1.values()) == list(range(12))  # dense 0..n-1
+    # code = rank in sorted key order
+    for rank, sid in enumerate(sorted(dim1)):
+        assert dim1[sid] == rank
+
+
+def test_coded_detect_matches_string_detect(spark, series_df):
+    string_in = series_df.repartition(4, "series_id")
+    want = {
+        (r.series_id, r.change_point)
+        for r in detect_lockstep_colocated(string_in, _factory).collect()
+    }
+    coded, dim = compact_series_key(series_df, n_partitions=4)
+    got_df = attach_series_id(
+        detect_lockstep_colocated(coded, _factory, key_type="long"), dim
+    )
+    assert dict(got_df.dtypes)["series_id"] == "string"
+    got = {(r.series_id, r.change_point) for r in got_df.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_coded_encode_matches_string_encode(spark, series_df):
+    string_in = series_df.repartition(4, "series_id")
+    cps = detect_lockstep_colocated(string_in, _factory).cache()
+    want = {
+        (r.series_id, r.segment_id, r.n_points, r.t_min, r.t_max, bytes(r.blob))
+        for r in encode_segments_colocated(string_in, cps).collect()
+    }
+    coded, dim = compact_series_key(series_df, n_partitions=4)
+    coded = coded.cache()
+    cps_coded = detect_lockstep_colocated(coded, _factory, key_type="long")
+    enc_coded = attach_series_id(
+        encode_segments_colocated(coded, cps_coded, key_type="long"), dim
+    )
+    got = {
+        (r.series_id, r.segment_id, r.n_points, r.t_min, r.t_max, bytes(r.blob))
+        for r in enc_coded.collect()
+    }
+    assert got == want and len(want) >= 12  # blobs byte-identical
+
+
+def test_key_type_validated():
+    with pytest.raises(ValueError):
+        detect_lockstep_colocated(None, _factory, key_type="int")
+    with pytest.raises(ValueError):
+        encode_segments_colocated(None, None, key_type="int")
+
+
+def test_iter_sorted_series_int_fast_path():
+    """The integer-key branch (np.diff boundaries, no dictionary hash) must
+    stitch series across batches exactly like the string branch."""
+    import pyarrow as pa
+
+    from pysatl_cpd_spark.operators.colocated import iter_sorted_series
+
+    def batch(codes, ts, vals):
+        return pa.record_batch(
+            [
+                pa.array(codes, pa.int64()),
+                pa.array(ts, pa.int64()),
+                pa.array(vals, pa.float64()),
+            ],
+            names=["series_id", "t", "value"],
+        )
+
+    batches = [
+        batch([5, 5, 7], [0, 1, 0], [1.0, 2.0, 3.0]),
+        batch([], [], []),  # zero-row batch carries schema only
+        batch([7, 7, 9], [1, 2, 0], [4.0, 5.0, 6.0]),
+    ]
+    got = [
+        (sid, cols["t"].tolist(), cols["value"].tolist())
+        for sid, cols in iter_sorted_series(batches, ("t", "value"))
+    ]
+    assert got == [
+        (5, [0, 1], [1.0, 2.0]),
+        (7, [0, 1, 2], [3.0, 4.0, 5.0]),
+        (9, [0], [6.0]),
+    ]
