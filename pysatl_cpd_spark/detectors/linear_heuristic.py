@@ -42,7 +42,18 @@ class BayesianLinearHeuristic:
         self._epoch_start = 0
 
     def _maybe_rotate(self, observation: float, localize: bool) -> None:
-        """Advance the duplicate detector's lifecycle by one step."""
+        """Advance the duplicate detector's lifecycle by one step.
+
+        Reference-faithful QUIRK (bayesian_linear_heuristic.py:73-86: the
+        same `==` stage triggers and the same assert): a localization that
+        lands further than ``time_before_duplicate_start`` steps in the
+        past makes ``work_time`` JUMP OVER the duplicate-creation trigger,
+        so when it later equals ``stage_end`` the assert below fires with
+        no duplicate prepared. Long pure-noise series can hit this
+        (found by the round-8 memory probe; minimal repro pinned in
+        tests/test_lockstep.py::test_far_back_localization_quirk_parity).
+        Reproduced as-is — parity with the reference includes its failure
+        modes, and the lockstep kernel raises identically."""
         work_time = self._time - self._epoch_start
         stage_end = self._start_after + self._prep_time
 

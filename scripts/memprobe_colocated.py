@@ -76,15 +76,20 @@ def main():
         .sortWithinPartitions("series_id", "t")
     )
 
-    from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
+    # CUSUM kernel (the contract flagship's detector): memory behavior is
+    # what this probe measures and the Arrow/iterator paths are identical
+    # per kernel; the linear-heuristic BOCPD cannot run this workload — its
+    # reference-faithful far-back-localization assert fires on long pure
+    # noise (found by this probe's first run; quirk pinned in
+    # tests/test_lockstep.py::test_far_back_localization_quirk_parity)
+    from pysatl_cpd_spark.detectors.cusum import LockstepCusum
 
-    factory = lambda: LockstepLinearBOCPD(  # noqa: E731
-        rate=1.0 / (1.0 - 0.5 ** (1.0 / 500)),
-        learning_sample_size=20,
-        threshold=0.04,
-        start_after=500,
-        prep=250,
-    )
+    # rare-alarm parameters: each CUSUM alarm restarts a lockstep round over
+    # the remaining tail, so flagship-style (k=0.05, h=2.0) on pure noise
+    # alarms every ~10^2 points and turns a 1M-pt series quadratic; at
+    # (k=0.5, h=8.0) alarms are rare and the scan is the O(n) pass whose
+    # memory we want to observe
+    factory = lambda: LockstepCusum(k=0.5, h=8.0)  # noqa: E731
 
     def run_streamed(batches):
         import resource

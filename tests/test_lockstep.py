@@ -619,3 +619,36 @@ def test_detect_counts_lockstep_operator_parity(spark):
     }
     assert got == want and len(got) == 8
     assert any(c == 0 for _, c in got)  # the zero-count rows are present
+
+
+def test_far_back_localization_quirk_parity():
+    """Reference-faithful failure-mode parity (bayesian_linear_heuristic.py
+    :73-86): a localization landing further back than start_after makes
+    work_time jump the duplicate-creation trigger, and the == stage_end
+    assert then fires with no duplicate prepared. Both the sequential
+    wrapper and the lockstep kernel must raise — identically, not silently
+    diverge. Series: seeded pure noise found by the round-8 memory probe,
+    minimized to its 3844-point crash prefix."""
+    from pysatl_cpd_spark.detectors import GaussianConjugate
+    from pysatl_cpd_spark.detectors.linear_heuristic import BayesianLinearHeuristic
+
+    rng = np.random.default_rng(7)
+    rng.normal(size=1_000_000)  # advance the stream to the probe's sid 44
+    for _ in range(1, 44):
+        rng.normal(size=50_000)
+    series = rng.normal(size=50_000)[:3844]
+
+    seq = BayesianLinearHeuristic(
+        lambda: BayesianOnlineDetector(
+            ConstantHazard(RATE), GaussianConjugate(), 20,
+            ThresholdDetector(0.04), ArgmaxLocalizer(),
+        ),
+        500,
+        250,
+    )
+    with pytest.raises(AssertionError):
+        seq.process_series(series)
+    with pytest.raises(AssertionError):
+        LockstepLinearBOCPD(
+            RATE, 20, 0.04, start_after=500, prep=250
+        ).process_many([series])
