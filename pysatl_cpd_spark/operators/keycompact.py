@@ -25,8 +25,10 @@ does the lossless version:
 Scale notes (100 TB): the dim table is one row per SERIES (conversation),
 orders of magnitude smaller than the point stream; at true ingest scale the
 code column is assigned once at the bucketed-table write (pay the
-factorization with the ingest shuffle, store the code) and these helpers
-only serve in-memory pipelines. The ``zipWithIndex`` path is distributed
+factorization with the ingest shuffle, store the code —
+``sources/catalog.py::write_bucketed_series_coded`` implements exactly
+this, persisting the dim table alongside so codes are stable across
+sessions) and these helpers also serve in-memory pipelines directly. The ``zipWithIndex`` path is distributed
 (sort + per-partition offsets; one extra count job over the tiny dim); the
 broadcast re-attach rides the tiny output side, never the point stream.
 """

@@ -24,7 +24,7 @@ across, buckets; bucket count sized to executor count).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # The documented cluster configuration for the Iceberg branch (public Iceberg
 # runtime artifact + a Hadoop-warehouse catalog; any Iceberg catalog works).
@@ -106,6 +106,52 @@ def write_bucketed_series(
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
     return spark.table(table_name)
+
+
+def write_bucketed_series_coded(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    mode: str = "overwrite",
+    path: str | None = None,
+    dim_path: str | None = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """``write_bucketed_series`` with the dense-int key compaction paid AT
+    INGEST (operators/keycompact.py): factorize ``series_id`` once into a
+    deterministic int64 ``code``, store the points table bucketed + sorted
+    BY THE CODE, and persist the (series_id, code) dim table alongside.
+    Downstream zero-exchange detect/encode then run ``key_type="long"`` —
+    no repeated string column ever crosses the Arrow socket on any later
+    detection run, and the factorization join is amortized into the one
+    ingest shuffle a bucketed table pays anyway. Returns ``(points, dim)``
+    re-read from storage (codes are therefore stable across sessions —
+    stronger than the in-memory helper's cache pin).
+
+    ``dim_path``: parquet location for the dim table (defaults to
+    ``<path>_dim`` when ``path`` is given, else a managed table
+    ``<table_name>_dim``)."""
+    from pysatl_cpd_spark.operators.keycompact import series_key_dim
+
+    spark = df.sparkSession
+    dim = series_key_dim(df)
+    coded = df.join(F.broadcast(dim), "series_id").select(
+        F.col("code").alias("series_id"),
+        *[c for c in df.columns if c != "series_id"],
+    )
+    points = write_bucketed_series(
+        coded, table_name, n_buckets, mode=mode, path=path
+    )
+    if dim_path is None and path is not None:
+        dim_path = path + "_dim"
+    if dim_path is not None:
+        dim.write.mode(mode).parquet(dim_path)
+        dim_out = spark.read.parquet(dim_path)
+    else:
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}_dim")
+        dim.write.mode(mode).saveAsTable(f"{table_name}_dim")
+        dim_out = spark.table(f"{table_name}_dim")
+    dim.unpersist()
+    return points, dim_out
 
 
 def write_table(

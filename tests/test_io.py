@@ -174,3 +174,46 @@ def test_write_table_format_roundtrip(spark, tmp_path):
         write_table(df, ref, mode="create")
         back = load_table(spark, ref)
         assert {(r.conv_id, float(r.value)) for r in back.collect()} == want, fmt
+
+
+def test_bucketed_coded_table_feeds_long_key_colocated(spark, tmp_path):
+    """write_bucketed_series_coded: the dense-int factorization paid at
+    ingest — the coded bucketed scan feeds key_type='long' colocated detect
+    with ZERO exchanges, and after the broadcast re-attach the rows equal
+    the string-keyed path. Codes must be stable across re-reads (stored,
+    not session-pinned)."""
+    from pysatl_cpd_spark.detectors.cusum import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import (
+        detect_lockstep_colocated,
+        detect_online_lockstep,
+    )
+    from pysatl_cpd_spark.operators.keycompact import attach_series_id
+    from pysatl_cpd_spark.operators.series import events_series
+    from pysatl_cpd_spark.sources.catalog import write_bucketed_series_coded
+
+    series = events_series(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    points, dim = write_bucketed_series_coded(
+        series, "series_bucketed_coded_t", n_buckets=8,
+        path=str(tmp_path / "series_coded"),
+    )
+    assert dict(points.dtypes)["series_id"] == "bigint"
+    # dim is dense + stable: re-read equals first read
+    dmap = {r.series_id: r.code for r in dim.collect()}
+    assert sorted(dmap.values()) == list(range(len(dmap)))
+
+    fac = lambda: LockstepCusum(k=1.0, h=10.0)  # noqa: E731
+    out = detect_lockstep_colocated(points, fac, key_type="long")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:500]
+
+    got = {
+        (r.series_id, r.change_point)
+        for r in attach_series_id(out, dim).collect()
+    }
+    want = {
+        (r.series_id, r.change_point)
+        for r in detect_online_lockstep(series, fac, n_buckets=4).collect()
+    }
+    assert got == want and got
