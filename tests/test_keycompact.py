@@ -127,3 +127,23 @@ def test_iter_sorted_series_int_fast_path():
         (7, [0, 1, 2], [3.0, 4.0, 5.0]),
         (9, [0], [6.0]),
     ]
+
+
+def test_compact_roundtrip_nasty_keys(spark):
+    """compact + attach is an identity on rows for adversarial series ids:
+    unicode, empty string, whitespace, ascii-order traps, 200-char keys."""
+    keys = [
+        "", " ", "  leading", "trailing  ", "conv-0001", "conv-00010",
+        "ünïcødé-🚀", "ZZZ", "zzz", "0", "-1", "k" * 200,
+    ]
+    rows = []
+    for i, k in enumerate(keys):
+        rows += [(k, t, float(i * 100 + t)) for t in range(5)]
+    df = spark.createDataFrame(rows, "series_id string, t long, value double")
+    coded, dim = compact_series_key(df, n_partitions=3)
+    dmap = {r.series_id: r.code for r in dim.collect()}
+    assert len(dmap) == len(keys)  # no collisions, empty string included
+    assert sorted(dmap.values()) == list(range(len(keys)))
+    back = attach_series_id(coded, dim)
+    got = {(r.series_id, r.t, r.value) for r in back.collect()}
+    assert got == set(rows)
