@@ -383,6 +383,90 @@ def detect_lockstep_colocated(
     return pruned.mapInArrow(run, f"series_id {key_type}, change_point long")
 
 
+def detect_colocated_instrumented(
+    series_df: DataFrame,
+    lockstep_factory: "Callable[[], object]",
+    validate: bool = False,
+    key_type: str = "string",
+) -> DataFrame:
+    """Observability twin of ``detect_lockstep_colocated`` (north-rule:
+    every unit of work emits lineage + metrics): the same ZERO-EXCHANGE
+    streamed dispatch, but each series additionally reports the partition
+    that processed it (``TaskContext.partitionId`` — per-partition lineage
+    for exact resume bookkeeping), its point count, and its kernel wall
+    time. Output: (series_id, partition_id, n_points, n_change_points,
+    kernel_ms, change_points).
+
+    Per-series ``kernel_ms`` requires one kernel call per series, so this
+    dispatch trades the cross-series flush amortization for attribution —
+    the same tradeoff the bucketed instrumented dispatch documents. Use
+    the plain colocated dispatch when only detections are needed."""
+    import time
+
+    from pysatl_cpd_spark.operators.colocated import (
+        assert_colocated,
+        iter_sorted_series,
+    )
+
+    if key_type not in ("string", "long"):
+        raise ValueError(f"key_type must be string|long, got {key_type!r}")
+    if validate:
+        assert_colocated(series_df)
+    pruned = _prepared(series_df).sortWithinPartitions("series_id", "t")
+
+    def run(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        key_pa = pa.string() if key_type == "string" else pa.int64()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        out = {k: [] for k in (
+            "series_id", "n_points", "n_change_points", "kernel_ms",
+            "change_points",
+        )}
+
+        def emit():
+            return pa.record_batch(
+                [
+                    pa.array(out["series_id"], key_pa),
+                    pa.array([pid] * len(out["series_id"]), pa.int32()),
+                    pa.array(out["n_points"], pa.int64()),
+                    pa.array(out["n_change_points"], pa.int64()),
+                    pa.array(out["kernel_ms"], pa.float64()),
+                    pa.array(out["change_points"], pa.list_(pa.int64())),
+                ],
+                names=[
+                    "series_id", "partition_id", "n_points",
+                    "n_change_points", "kernel_ms", "change_points",
+                ],
+            )
+
+        for sid, cols in iter_sorted_series(batches, ("t", "value")):
+            t_np = cols["t"]
+            v = cols["value"].astype(np.float64, copy=False)
+            t0 = time.perf_counter()
+            cps = lockstep_factory().process_many([v])[0]
+            kernel_ms = (time.perf_counter() - t0) * 1000.0
+            remapped = [int(t_np[c]) for c in cps if c < t_np.shape[0]]
+            out["series_id"].append(sid)
+            out["n_points"].append(int(v.shape[0]))
+            out["n_change_points"].append(len(remapped))
+            out["kernel_ms"].append(kernel_ms)
+            out["change_points"].append(remapped)
+            if len(out["series_id"]) >= 8192:
+                yield emit()
+                out = {k: [] for k in out}
+        if out["series_id"]:
+            yield emit()
+
+    return pruned.mapInArrow(
+        run,
+        f"series_id {key_type}, partition_id int, n_points long, "
+        "n_change_points long, kernel_ms double, change_points array<long>",
+    )
+
+
 def detect_offline_lockstep(
     series_df: DataFrame,
     lockstep_factory: "Callable[[], object]",

@@ -79,3 +79,49 @@ def test_instrumented_bucketed_parity(spark):
         got = detect_online_instrumented(df, factory, n_buckets=nb).collect()
         assert key_rows(got) == per_series and len(got) == 6
         assert all(r["kernel_ms"] > 0 for r in got)
+
+
+def test_colocated_instrumented_matches_plain_and_reports_lineage(spark):
+    """The zero-exchange instrumented dispatch: detections equal the plain
+    colocated dispatch; every series reports the partition that processed
+    it (consistent with its co-located placement), its n_points, and a
+    kernel_ms. Plan stays exchange-free after the caller repartition."""
+    from pysatl_cpd_spark.detectors.cusum import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import (
+        detect_colocated_instrumented,
+        detect_lockstep_colocated,
+    )
+
+    rows = []
+    rng = np.random.default_rng(3)
+    for s in range(10):
+        data = np.concatenate(
+            [rng.normal(0, 1, 150), rng.normal(6, 1, 150)]
+        )
+        rows.extend((f"s{s}", t, float(v)) for t, v in enumerate(data))
+    df = (
+        spark.createDataFrame(rows, "series_id string, t long, value double")
+        .repartition(4, "series_id")
+        .cache()
+    )
+    fac = lambda: LockstepCusum(k=0.05, h=2.0)  # noqa: E731
+
+    inst_df = detect_colocated_instrumented(df, fac)
+    plan = inst_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan.split("InMemoryRelation")[0]
+
+    inst = inst_df.collect()
+    plain = {
+        (r.series_id, r.change_point)
+        for r in detect_lockstep_colocated(df, fac).collect()
+    }
+    from_inst = {
+        (r.series_id, cp) for r in inst for cp in r.change_points
+    }
+    assert from_inst == plain and plain
+    assert {r.series_id for r in inst} == {f"s{s}" for s in range(10)}
+    assert all(r.n_points == 300 for r in inst)
+    assert all(r.n_change_points == len(r.change_points) for r in inst)
+    assert all(r.kernel_ms >= 0.0 for r in inst)
+    # lineage: one partition per series, within the caller's 4 partitions
+    assert all(0 <= r.partition_id < 4 for r in inst)
