@@ -2299,6 +2299,42 @@ GROUP BY series_id, turn_idx // {bucket_turns}
 """
 
 
+def cpd_colocated_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability surface of the zero-exchange production path
+    (detect_colocated_instrumented): per-series lineage/metrics rows from
+    the flagship transcripts — the deterministic columns only (kernel_ms
+    and partition_id are run-dependent by nature). Value-checks that the
+    instrumented dispatch sees every series exactly once with the right
+    point count and detection count — the bookkeeping exact resume relies
+    on."""
+    from pysatl_cpd_spark.detectors import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import detect_colocated_instrumented
+    from pysatl_cpd_spark.operators.series import turn_rate_series
+    from pysatl_cpd_spark.sources.transcripts import transcripts_table
+
+    tr = transcripts_table(spark, n_conversations=20, avg_turns=300, seed=42)
+    n_parts = spark.sparkContext.defaultParallelism
+    series = turn_rate_series(tr).repartition(n_parts, "series_id")
+    m = detect_colocated_instrumented(series, lambda: LockstepCusum(k=0.05, h=2.0))
+    return m.select("series_id", "n_points", "n_change_points")
+
+
+def _colocated_metrics_sql(k: float = 0.05, h: float = 2.0, learning: int = 50) -> str:
+    """SQL twin of cpd_colocated_metrics: per-series point counts from the
+    flagship VALUES series plus CUSUM-chain detection counts (zero counts
+    preserved via the left-joined aggregate)."""
+    return f"""{_flagship_common_ctes(k, h, learning)}
+SELECT r.series_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(coalesce(any_value(cc.n), 0) AS BIGINT) AS n_change_points
+FROM raw r
+LEFT JOIN (
+  SELECT series_id, count(*) AS n FROM cps GROUP BY series_id
+) cc ON cc.series_id = r.series_id
+GROUP BY r.series_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: CPD-adaptive segment rollup of per-user event
     series (detect CPs JVM-side via CUSUM scores, segment, Gorilla-encode,
@@ -2413,6 +2449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 8: offline-BOCPD COUNT trajectory (D2 detect path) —
         # beyond-window, value-checked via its own transcription oracle
         "cpd_bocpd_offline_counts": cpd_bocpd_offline_counts,
+        # round 8: zero-exchange instrumented dispatch (lineage/metrics)
+        "cpd_colocated_metrics": cpd_colocated_metrics,
     }
 
 
@@ -2433,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         out["transcripts_cpd_rollup"] = _flagship_sql()
         out["transcripts_segment_gapfill"] = _segment_gapfill_sql()
         out["transcripts_tool_rate"] = _tool_rate_sql()
+        out["cpd_colocated_metrics"] = _colocated_metrics_sql()
     except Exception:  # noqa: BLE001
         pass
     # sequential detectors: expected rows computed at oracle-build time by
