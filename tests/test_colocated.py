@@ -5,6 +5,7 @@ partition)."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 
@@ -97,3 +98,54 @@ def test_encode_colocated_multi_batch_multi_flush_parity(spark):
     finally:
         spark.conf.set(conf_key, old)
     assert got == key_rows(encode_segments_adaptive(series, cps))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_series=st.integers(1, 6),
+    int_keys=st.booleans(),
+)
+def test_iter_sorted_series_random_batch_splits(seed, n_series, int_keys):
+    """Property: for ANY batch segmentation of a sorted (key, t) stream —
+    including zero-row batches and series spanning many batches — the
+    iterator yields each series exactly once, contiguous, in order, for
+    both string and int64 keys."""
+    import pyarrow as pa
+
+    from pysatl_cpd_spark.operators.colocated import iter_sorted_series
+
+    rng = np.random.default_rng(seed)
+    keys = []
+    ts = []
+    vals = []
+    want = {}
+    for s in range(n_series):
+        n = int(rng.integers(1, 40))
+        k = s * 7 if int_keys else f"s{s:03d}"
+        keys += [k] * n
+        ts += list(range(n))
+        vals += [float(v) for v in rng.normal(size=n)]
+        want[k] = (list(range(n)), vals[-n:])
+    # random segmentation incl. empty batches
+    cuts = sorted(
+        int(c) for c in rng.integers(0, len(keys) + 1, size=int(rng.integers(0, 6)))
+    )
+    bounds = [0] + cuts + [len(keys)]
+    key_type = pa.int64() if int_keys else pa.string()
+    batches = [
+        pa.record_batch(
+            [
+                pa.array(keys[lo:hi], key_type),
+                pa.array(ts[lo:hi], pa.int64()),
+                pa.array(vals[lo:hi], pa.float64()),
+            ],
+            names=["series_id", "t", "value"],
+        )
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+    ]
+    got = {
+        sid: (cols["t"].tolist(), cols["value"].tolist())
+        for sid, cols in iter_sorted_series(batches, ("t", "value"))
+    }
+    assert got == want
