@@ -2299,6 +2299,42 @@ GROUP BY series_id, turn_idx // {bucket_turns}
 """
 
 
+def transcripts_cpd_rollup_coded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline through the dense-int key compaction
+    (operators/keycompact.py): factorize series_id at the ingest
+    repartition, run the zero-exchange colocated detect+encode on
+    (code:int64, t, value), broadcast-re-attach the string id on the
+    summary rows. Hash-checked against the SAME oracle as the string-keyed
+    flagship — the compaction must be output-invisible."""
+    from pysatl_cpd_spark.detectors import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
+    from pysatl_cpd_spark.operators.keycompact import (
+        attach_series_id,
+        compact_series_key,
+    )
+    from pysatl_cpd_spark.operators.segments import encode_segments_colocated
+    from pysatl_cpd_spark.operators.series import turn_rate_series
+    from pysatl_cpd_spark.sources.transcripts import transcripts_table
+
+    tr = transcripts_table(spark, n_conversations=20, avg_turns=300, seed=42)
+    n_parts = spark.sparkContext.defaultParallelism
+    coded, dim = compact_series_key(turn_rate_series(tr), n_partitions=n_parts)
+    coded = coded.cache()
+    cps = detect_lockstep_colocated(
+        coded, lambda: LockstepCusum(k=0.05, h=2.0), key_type="long"
+    )
+    enc = encode_segments_colocated(coded, cps, key_type="long")
+    return attach_series_id(enc, dim).select(
+        "series_id",
+        "segment_id",
+        "n_points",
+        "t_min",
+        "t_max",
+        F.round("min_value", 9).alias("min_value"),
+        F.round("max_value", 9).alias("max_value"),
+    )
+
+
 def cpd_colocated_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observability surface of the zero-exchange production path
     (detect_colocated_instrumented): per-series lineage/metrics rows from
@@ -2451,6 +2487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cpd_bocpd_offline_counts": cpd_bocpd_offline_counts,
         # round 8: zero-exchange instrumented dispatch (lineage/metrics)
         "cpd_colocated_metrics": cpd_colocated_metrics,
+        # round 8: coded-key flagship twin (same oracle as the flagship —
+        # the key compaction must be output-invisible)
+        "transcripts_cpd_rollup_coded": transcripts_cpd_rollup_coded,
     }
 
 
@@ -2472,6 +2511,7 @@ def oracle_sql() -> dict[str, str]:
         out["transcripts_segment_gapfill"] = _segment_gapfill_sql()
         out["transcripts_tool_rate"] = _tool_rate_sql()
         out["cpd_colocated_metrics"] = _colocated_metrics_sql()
+        out["transcripts_cpd_rollup_coded"] = _flagship_sql()
     except Exception:  # noqa: BLE001
         pass
     # sequential detectors: expected rows computed at oracle-build time by
