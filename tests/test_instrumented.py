@@ -125,3 +125,24 @@ def test_colocated_instrumented_matches_plain_and_reports_lineage(spark):
     assert all(r.kernel_ms >= 0.0 for r in inst)
     # lineage: one partition per series, within the caller's 4 partitions
     assert all(0 <= r.partition_id < 4 for r in inst)
+
+
+def test_colocated_instrumented_long_keys(spark):
+    """key_type='long' (the compacted path) emits int64 series ids with the
+    same per-series metrics."""
+    from pysatl_cpd_spark.detectors.cusum import LockstepCusum
+    from pysatl_cpd_spark.operators.cpd import detect_colocated_instrumented
+
+    rows = []
+    rng = np.random.default_rng(5)
+    for code in (3, 7):
+        data = np.concatenate([rng.normal(0, 1, 80), rng.normal(6, 1, 80)])
+        rows.extend((code, t, float(v)) for t, v in enumerate(data))
+    df = spark.createDataFrame(
+        rows, "series_id long, t long, value double"
+    ).repartition(2, "series_id")
+    fac = lambda: LockstepCusum(k=0.05, h=2.0)  # noqa: E731
+    inst = detect_colocated_instrumented(df, fac, key_type="long").collect()
+    assert {r.series_id for r in inst} == {3, 7}
+    assert all(r.n_points == 160 for r in inst)
+    assert sum(r.n_change_points for r in inst) > 0
