@@ -29,6 +29,9 @@ SHOW = [
     "ngram_contamination",
     "ivf_cosine_topk",
     "transcripts_cpd_rollup",
+    "transcripts_cpd_rollup_coded",
+    "cpd_colocated_metrics",
+    "cpd_bocpd_offline_counts",
 ]
 
 GATE_SECTION = """
