@@ -254,3 +254,20 @@ def test_detect_counts_lockstep_offline_operator(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_detect_mode_degenerate_learn_window_raises_like_sequential():
+    """Zero-variance learn windows crash the sequential detect (evidence
+    assert on NaN); the counting lockstep must mirror the failure, not
+    silently emit counts — same law as the localize suite."""
+    bad = np.zeros(120)
+    seq = BayesianOffline(
+        learning_steps=20,
+        likelihood=GaussianConjugate(),
+        hazard=ConstantHazard(DEFAULT_HAZARD_RATE),
+        detector=ThresholdDetector(0.04),
+    )
+    with pytest.raises(AssertionError):
+        seq.detect(bad)
+    with pytest.raises(AssertionError):
+        LockstepBayesianOffline(learning_steps=20, mode="detect").process_many([bad])
