@@ -68,11 +68,31 @@ def unpersist_cached(blocking: bool = False) -> int:
     return n
 
 
+def _fan_out(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow documents scan up to the session's
+    parallelism before per-row-heavy generation (explode + md5 hashing): a
+    single-file table with one parquet row group scans as ONE task, which
+    serializes the whole Generate/hash stage onto one core (measured 5.75 s
+    for 2.6M shingles at sf1.0 that take ~0.4 s spread over 32). The
+    repartition moves only the tiny raw doc rows once, and is skipped when
+    the input is already at least that parallel (a real multi-file corpus
+    scan at cluster scale)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        current = docs.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - conservatively skip on exotic plans
+        return docs
+    if current >= target:
+        return docs
+    return docs.repartition(target)
+
+
 def _normalized_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) distinct word tokens of the normalized text."""
     squeezed = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.split(squeezed, " ").alias("toks"))
+        _fan_out(docs)
+        .select(F.col(id_col).alias("doc_id"), F.split(squeezed, " ").alias("toks"))
         .select("doc_id", F.explode("toks").alias("token"))
         .filter(F.length("token") > 0)
         .distinct()
@@ -134,24 +154,37 @@ def token_jaccard_pairs(
             .select("token")
         )
         toks = toks.join(F.broadcast(heavy), "token", "left_anti")
-    toks = _maybe_persist(toks, cache_tokens)  # 4 plan references (a, b, 2x sizes)
+    toks = _maybe_persist(toks, cache_tokens)  # 3 plan references (a, b, sizes)
+    # same two tricks as shingle_jaccard_pairs: broadcast the per-doc set
+    # size onto the token rows so the self-join prunes size-incompatible
+    # pairs before the pair aggregate (jaccard <= min/max, so min <= t*max-1
+    # can never pass — exact), and carry n_a/n_b through the groupBy keys so
+    # the two post-aggregation size joins disappear
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    enriched = toks.join(F.broadcast(sizes), "doc_id")
+    a = enriched.alias("a")
+    b = enriched.alias("b")
+    na, nb = F.col("a.n_tok"), F.col("b.n_tok")
+    size_compat = F.least(na, nb).cast("double") > (
+        F.lit(float(threshold)) * F.greatest(na, nb).cast("double") - F.lit(1.0)
+    )
     inter = (
-        a.join(b, F.col("a.token") == F.col("b.token"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_compat,
+        )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            na.alias("n_a"),
+            nb.alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -168,12 +201,31 @@ def shingle_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     cache_shingles: bool = True,
+    strategy: str = "auto",
+    broadcast_max_rows: int = 16_000_000,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingles. Shingles are far more
     selective than single tokens (the 31-token synthetic corpus makes a
     token self-join O(sum df^2) ≈ 450M pairs at sf0.1; trigrams cut that to
     ~3M), so this is the exact-similarity operator that survives scale; pair
-    generation stays a shuffle equi-join on the shingle."""
+    generation stays a shuffle equi-join on the shingle.
+
+    ``strategy`` picks how pair intersections are counted — the same
+    decision shape as Spark's broadcast-vs-shuffle join, applied to the
+    whole shingle incidence table:
+
+    - ``"broadcast"``: the (doc, shingle-hash) incidence table is collected
+      and broadcast as CSR index arrays (exactly what a BroadcastHashJoin
+      does with its build side), and each task counts shared hashes for its
+      slice of docs with vectorized numpy gathers + bincount — no pair
+      shuffle, no 10^8-group aggregate. Identical output: same distinct
+      md5-hash sets, same integer counts, same double jaccard.
+    - ``"join"``: the shuffle equi-join + pair aggregate — unbounded-scale
+      path (the incidence table never has to fit anywhere).
+    - ``"auto"`` (default): broadcast while the incidence table holds at
+      most ``broadcast_max_rows`` rows (16M rows ≈ 250 MB of build arrays —
+      same order as a large broadcast-join build side), else join.
+    """
     # join on the portable 60-bit md5 hash of the shingle, not the string:
     # an 8-byte shuffle key instead of a ~20-byte string. The SQL oracle
     # hashes identically, so even the (~1e-7) collision behavior matches.
@@ -181,22 +233,48 @@ def shingle_jaccard_pairs(
         shingles(docs, n, id_col, text_col)
         .select("doc_id", token_hash64(F.col("shingle")).alias("sh"))
         .distinct(),
-        cache_shingles,  # 4 plan references (a, b, 2x sizes)
+        cache_shingles,  # 3 plan references (a, b, sizes)
     )
+    if strategy == "auto":
+        strategy = "broadcast" if sh.count() <= broadcast_max_rows else "join"
+    if strategy == "broadcast":
+        return _jaccard_pairs_broadcast(sh, threshold)
+    if strategy != "join":
+        raise ValueError(f"strategy must be auto|broadcast|join, got {strategy!r}")
+    # attach each doc's set size to its shingle rows (sizes is one row per
+    # doc — broadcast, no corpus-side shuffle) so that
+    # (1) the self-join can prune size-incompatible pairs BEFORE the pair
+    #     aggregate: jaccard <= min(|A|,|B|)/max(|A|,|B|), so any pair with
+    #     min <= t*max - 1 can never reach the threshold (integer counts make
+    #     the -1 slack absorb float rounding in t*max — prunes only provable
+    #     non-matches, output unchanged). At sf1.0 this cuts the 257M-row
+    #     join fan-out / 114M-group pair aggregate ~4x;
+    # (2) n_a/n_b ride the groupBy keys (functionally dependent on the ids),
+    #     removing the two post-aggregation size joins and their exchanges.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    enriched = sh.join(F.broadcast(sizes), "doc_id")
+    a, b = enriched.alias("a"), enriched.alias("b")
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    size_compat = F.least(na, nb).cast("double") > (
+        F.lit(float(threshold)) * F.greatest(na, nb).cast("double") - F.lit(1.0)
+    )
     inter = (
-        a.join(b, F.col("a.sh") == F.col("b.sh"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_compat,
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            na.alias("n_a"),
+            nb.alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -206,9 +284,104 @@ def shingle_jaccard_pairs(
     )
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def _jaccard_pairs_broadcast(sh: DataFrame, threshold: float) -> DataFrame:
+    """Broadcast-incidence counting kernel behind ``shingle_jaccard_pairs``
+    (strategy="broadcast"): collect the distinct (doc_id, hash) incidence
+    table — the build side, bounded by the caller's row gate exactly like a
+    broadcast-join build side — index it into forward/transpose CSR arrays,
+    broadcast them, and let each task compute EXACT shared-hash counts for a
+    slice of docs via numpy gathers + bincount. Replaces the O(sum df^2)
+    join fan-out + pair-count shuffle aggregate (74.7M groups for 25 result
+    rows at sf1.0) with vectorized per-doc counting; the math is identical:
+    n_inter = |hash(A) ∩ hash(B)|, jaccard = double(n_inter) /
+    double(|A| + |B| - n_inter), filter >= threshold."""
+    import numpy as np
+    import pyarrow as pa
+
+    spark = sh.sparkSession
+    sc = spark.sparkContext
+    pdf = sh.toPandas()
+    doc = pdf["doc_id"].to_numpy(np.int64)
+    hv = pdf["sh"].to_numpy(np.int64)
+    out_schema = "doc_a long, doc_b long, jaccard double"
+    if doc.shape[0] == 0:
+        return spark.createDataFrame([], out_schema)
+    docs_u, doc_idx = np.unique(doc, return_inverse=True)
+    voc_u, voc_idx = np.unique(hv, return_inverse=True)
+    nd, nv = docs_u.shape[0], voc_u.shape[0]
+    # exact (doc, hash) dedupe (input is already DISTINCT; this also makes
+    # the kernel safe for non-distinct callers) — packed fits int64 because
+    # nd * nv <= nnz^2 <= (16M)^2 < 2^63
+    packed = np.unique(doc_idx.astype(np.int64) * nv + voc_idx)
+    doc_idx = packed // nv
+    voc_idx = packed % nv
+    sizes = np.bincount(doc_idx, minlength=nd).astype(np.int64)
+    # forward CSR (doc -> its hash ids): packed order is doc-major
+    f_indptr = np.searchsorted(doc_idx, np.arange(nd + 1))
+    f_cols = voc_idx
+    # transpose CSR (hash id -> sorted doc ids)
+    order = np.lexsort((doc_idx, voc_idx))
+    t_docs = doc_idx[order]
+    t_indptr = np.searchsorted(voc_idx[order], np.arange(nv + 1))
+    bc = sc.broadcast((f_indptr, f_cols, t_indptr, t_docs, sizes, docs_u))
+    n_blocks = max(2 * sc.defaultParallelism, 1)
+
+    def run(batches):
+        fi, fc, ti, td, sz, du = bc.value
+        ndocs = sz.shape[0]
+        thr = float(threshold)
+        for batch in batches:
+            for blk in batch.column(0).to_numpy():
+                lo = (ndocs * blk) // n_blocks
+                hi = (ndocs * (blk + 1)) // n_blocks
+                oa, ob, oj = [], [], []
+                for r in range(int(lo), int(hi)):
+                    segs = []
+                    for s in fc[fi[r] : fi[r + 1]]:
+                        seg = td[ti[s] : ti[s + 1]]
+                        # docs within one hash are sorted: keep only j > r
+                        seg = seg[np.searchsorted(seg, r, side="right") :]
+                        if seg.shape[0]:
+                            segs.append(seg)
+                    if not segs:
+                        continue
+                    cnt = np.bincount(
+                        np.concatenate(segs), minlength=ndocs
+                    )
+                    js = np.nonzero(cnt)[0]
+                    ci = cnt[js]
+                    jac = ci.astype(np.float64) / (sz[r] + sz[js] - ci)
+                    keep = jac >= thr
+                    if keep.any():
+                        oa.append(np.full(int(keep.sum()), du[r], np.int64))
+                        ob.append(du[js[keep]])
+                        oj.append(jac[keep])
+                if oa:
+                    yield pa.record_batch(
+                        [
+                            pa.array(np.concatenate(oa), pa.int64()),
+                            pa.array(np.concatenate(ob), pa.int64()),
+                            pa.array(np.concatenate(oj), pa.float64()),
+                        ],
+                        names=["doc_a", "doc_b", "jaccard"],
+                    )
+
+    blocks = spark.range(0, n_blocks, 1, n_blocks)
+    return blocks.mapInArrow(run, out_schema)
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+) -> DataFrame:
     """(doc_id, shingle) distinct word n-gram shingles, via slide over the
-    token array (transform + filter — JVM-side).
+    token array (transform + filter — JVM-side). ``distinct=False`` skips
+    the dedup exchange for duplicate-insensitive consumers (MinHash minima,
+    countDistinct aggregates): same results, one less shuffle over the
+    fat shingle strings.
 
     The token array is MATERIALIZED in its own projection before the slide:
     referencing the split(...) expression inline inside the transform lambda
@@ -216,7 +389,7 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     index (no common-subexpression elimination through generator lambdas) —
     measured 10x slower (4.7 s vs 0.45 s for 260k shingles at sf0.1)."""
     squeezed = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    tokd = docs.select(
+    tokd = _fan_out(docs).select(
         F.col(id_col).alias("doc_id"), F.split(squeezed, " ").alias("toks")
     )
     # guard: a doc shorter than n words has NO shingles (sequence(0, -1)
@@ -225,7 +398,8 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
         F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
     ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
-    return tokd.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    out = tokd.select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_contamination(
@@ -307,7 +481,11 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     sig = _maybe_persist(
         minhash_signatures(
-            shingles(docs, shingle_n, id_col, text_col), num_hashes, seed
+            # distinct=False: per-hash-function minima are duplicate-
+            # insensitive, so the shingle dedup exchange is pure cost here
+            shingles(docs, shingle_n, id_col, text_col, distinct=False),
+            num_hashes,
+            seed,
         ),
         cache_signatures,  # both banded self-join sides derive from sig
     )
@@ -449,30 +627,107 @@ def simhash(
             else []
         ),
     )
+    # set-bit COUNTS instead of ±1 sign-sums: sum(±1) > 0 <=> 2*count > n
+    # exactly (integer identity), and the per-row aggregate update loses the
+    # conditional branch — half the expression work per (row, bit)
     bit_sums = [
         F.sum(
-            F.when(
-                F.shiftright(F.col("h" if i < 60 else "h2"), i % 60)
-                .bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            ).otherwise(-1)
+            F.shiftright(F.col("h" if i < 60 else "h2"), i % 60).bitwiseAND(
+                F.lit(1)
+            )
         ).alias(f"b{i}")
         for i in range(nbits)
     ]
-    agg = hashed.groupBy("doc_id").agg(*bit_sums)
+    agg = hashed.groupBy("doc_id").agg(
+        *bit_sums, F.count(F.lit(1)).alias("n_tok")
+    )
+    n2 = F.col("n_tok")
     sim: F.Column = F.lit(0).cast("long")
     for i in range(min(nbits, 60)):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        sim = sim + F.when(
+            F.col(f"b{i}") * 2 > n2, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0))
     cols = ["doc_id", sim.alias("simhash")]
     if nbits > 60:
         sim_hi: F.Column = F.lit(0).cast("long")
         for i in range(60, nbits):
             sim_hi = sim_hi + F.when(
-                F.col(f"b{i}") > 0, F.lit(1 << (i - 60)).cast("long")
+                F.col(f"b{i}") * 2 > n2, F.lit(1 << (i - 60)).cast("long")
             ).otherwise(F.lit(0))
         cols.append(sim_hi.alias("simhash_hi"))
     return agg.select(*cols)
+
+
+def simhash_kernel(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Numpy twin of ``simhash``: same distinct-token table, same md5-derived
+    per-token hashes (computed JVM-side, so the oracle-portable hash law is
+    untouched), but the per-(doc, bit) counting + sign-packing runs
+    vectorized in one mapInArrow pass after a repartition by doc. Exact same
+    integers out (parity-pinned in tests). Exists because the expression
+    form generates a 120-aggregate whole-stage-codegen function whose JANINO
+    COMPILE dominates a cold run (measured ~6 s compile vs 0.6 s execution
+    at sf1.0) — the kernel's plan is tiny and compiles in milliseconds."""
+    import numpy as np
+    import pyarrow as pa
+
+    if bits <= 60 or bits > SIMHASH_BITS:
+        raise ValueError("simhash_kernel supports 60 < bits <= 120")
+    nbits = bits
+    if n_parts is None:
+        n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    toks = _normalized_tokens(docs, id_col, text_col)
+    hashed = toks.select(
+        "doc_id",
+        token_hash64(F.col("token")).alias("h"),
+        F.conv(F.substring(F.md5(F.col("token")), 16, 15), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    ).repartition(n_parts, "doc_id")
+
+    lo_shifts = np.arange(60, dtype=np.int64)
+    hi_shifts = np.arange(nbits - 60, dtype=np.int64)
+    lo_pows = (np.int64(1) << lo_shifts).astype(np.int64)
+    hi_pows = (np.int64(1) << hi_shifts).astype(np.int64)
+
+    def run(batches):
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
+        if tbl.num_rows == 0:
+            return
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        h = tbl.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        h2 = tbl.column("h2").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(doc, kind="stable")
+        doc, h, h2 = doc[order], h[order], h2[order]
+        docs_u, counts = np.unique(doc, return_counts=True)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        bits_lo = (h[:, None] >> lo_shifts) & 1
+        bits_hi = (h2[:, None] >> hi_shifts) & 1
+        cnt_lo = np.add.reduceat(bits_lo, starts, axis=0)
+        cnt_hi = np.add.reduceat(bits_hi, starts, axis=0)
+        n_tok = counts[:, None]
+        sim_lo = ((cnt_lo * 2 > n_tok) * lo_pows).sum(axis=1)
+        sim_hi = ((cnt_hi * 2 > n_tok) * hi_pows).sum(axis=1)
+        yield pa.record_batch(
+            [
+                pa.array(docs_u, pa.int64()),
+                pa.array(sim_lo.astype(np.int64), pa.int64()),
+                pa.array(sim_hi.astype(np.int64), pa.int64()),
+            ],
+            names=["doc_id", "simhash", "simhash_hi"],
+        )
+
+    return hashed.mapInArrow(
+        run, "doc_id long, simhash long, simhash_hi long"
+    )
 
 
 def simhash_chunk_layout(max_hamming: int, total_bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
@@ -511,12 +766,129 @@ def _chunk_key(lo: F.Column, hi: F.Column, start: int, size: int) -> F.Column:
     return lo_part.bitwiseOR(F.shiftleft(hi_part, nlo))
 
 
+def _simhash_pairs_broadcast(
+    sh: DataFrame, max_hamming: int, layout: list[tuple[int, int]]
+) -> DataFrame:
+    """Broadcast-kernel twin of the blocked simhash self-join (same shape as
+    ``_jaccard_pairs_broadcast``): the per-doc simhash table — ONE small row
+    per document — is collected and broadcast with a transpose index
+    (chunk-key -> sorted doc ids), and each task generates the pigeonhole
+    candidates for its slice of docs with numpy gathers, dedupes them in-row
+    (np.unique — replaces the lowest-matching-chunk trick), and applies the
+    exact hamming filter via a popcount LUT. Pair set and hamming values are
+    identical to the join path: candidates = pairs sharing >= 1 chunk
+    (pigeonhole-complete for distance <= max_hamming), filter <= max_hamming.
+    Replaces the sum-bucket^2 join fan-out (445M joined rows at sf1.0 for
+    12.3M output pairs, one hot 17-bit bucket holding 17.8k docs) with
+    vectorized gathers at the same exact output."""
+    import numpy as np
+    import pyarrow as pa
+
+    spark = sh.sparkSession
+    sc = spark.sparkContext
+    pdf = sh.toPandas()
+    out_schema = "doc_a long, doc_b long, hamming long"
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    # sort by doc id so dense index order == id order (dedupe is j > r)
+    pdf = pdf.sort_values("doc_id")
+    ids = pdf["doc_id"].to_numpy(np.int64)
+    lo = pdf["simhash"].to_numpy(np.int64)
+    hi = pdf["simhash_hi"].to_numpy(np.int64)
+    nd = ids.shape[0]
+
+    def chunk_keys(lo_a: np.ndarray, hi_a: np.ndarray, start: int, size: int) -> np.ndarray:
+        mask = np.int64((1 << size) - 1)
+        if start >= 60:
+            return (hi_a >> (start - 60)) & mask
+        if start + size <= 60:
+            return (lo_a >> start) & mask
+        nlo = 60 - start
+        lo_part = (lo_a >> start) & np.int64((1 << nlo) - 1)
+        hi_part = hi_a & np.int64((1 << (size - nlo)) - 1)
+        return lo_part | (hi_part << nlo)
+
+    n_chunks = len(layout)
+    # incidence (doc, packed chunk value), packed = key * n_chunks + chunk
+    keys = np.concatenate(
+        [
+            chunk_keys(lo, hi, s, z) * n_chunks + i
+            for i, (s, z) in enumerate(layout)
+        ]
+    )
+    docs_idx = np.tile(np.arange(nd, dtype=np.int64), n_chunks)
+    voc_u, voc_idx = np.unique(keys, return_inverse=True)
+    order = np.lexsort((docs_idx, voc_idx))
+    t_docs = docs_idx[order]
+    t_indptr = np.searchsorted(voc_idx[order], np.arange(voc_u.shape[0] + 1))
+    # forward: row r's chunk vocab ids are voc_idx[r], voc_idx[nd + r], ...
+    f_vocs = voc_idx.reshape(n_chunks, nd)
+    bc = sc.broadcast((ids, lo, hi, f_vocs, t_indptr, t_docs))
+    n_blocks = max(2 * sc.defaultParallelism, 1)
+
+    def _popcount(v: np.ndarray) -> np.ndarray:
+        # SWAR popcount; inputs are xors of 60-bit non-negative hashes, so
+        # the final multiply's top byte (total count <= 120 < 128) never
+        # sets the sign bit and the arithmetic >> 56 is exact
+        m1 = np.int64(0x5555555555555555)
+        m2 = np.int64(0x3333333333333333)
+        m4 = np.int64(0x0F0F0F0F0F0F0F0F)
+        v = v - ((v >> 1) & m1)
+        v = (v & m2) + ((v >> 2) & m2)
+        v = (v + (v >> 4)) & m4
+        return (v * np.int64(0x0101010101010101)) >> 56
+
+    def run(batches):
+        ids_, lo_, hi_, fv, ti, td = bc.value
+        ndocs = ids_.shape[0]
+        mh = int(max_hamming)
+        for batch in batches:
+            for blk in batch.column(0).to_numpy():
+                oa, ob, oh = [], [], []
+                # STRIDED doc assignment (r = blk, blk + n_blocks, ...): hot
+                # near-dup clusters sit in contiguous id ranges, so range
+                # blocks would straggle; striding spreads them evenly
+                for r in range(int(blk), ndocs, n_blocks):
+                    segs = []
+                    for c in range(fv.shape[0]):
+                        s = fv[c, r]
+                        seg = td[ti[s] : ti[s + 1]]
+                        seg = seg[np.searchsorted(seg, r, side="right") :]
+                        if seg.shape[0]:
+                            segs.append(seg)
+                    if not segs:
+                        continue
+                    js = np.unique(np.concatenate(segs))
+                    ham = _popcount(lo_[js] ^ lo_[r]) + _popcount(
+                        hi_[js] ^ hi_[r]
+                    )
+                    keep = ham <= mh
+                    if keep.any():
+                        oa.append(np.full(int(keep.sum()), ids_[r], np.int64))
+                        ob.append(ids_[js[keep]])
+                        oh.append(ham[keep])
+                if oa:
+                    yield pa.record_batch(
+                        [
+                            pa.array(np.concatenate(oa), pa.int64()),
+                            pa.array(np.concatenate(ob), pa.int64()),
+                            pa.array(np.concatenate(oh), pa.int64()),
+                        ],
+                        names=["doc_a", "doc_b", "hamming"],
+                    )
+
+    blocks = spark.range(0, n_blocks, 1, n_blocks)
+    return blocks.mapInArrow(run, out_schema)
+
+
 def simhash_near_dups(
     docs: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     cache_simhash: bool = True,
+    strategy: str = "auto",
+    broadcast_max_docs: int = 4_000_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance over the FULL 120-bit
     simhash, blocked on ``max(max_hamming + 1, 2)`` disjoint bit chunks
@@ -533,8 +905,20 @@ def simhash_near_dups(
     (measured 4.8 s -> 3.9 s at sf0.1, interleaved). The cached frame is
     ~32 bytes/doc (MEMORY_AND_DISK, LRU-evicted); at true corpus scale
     you'd materialize the simhash table as a first-class asset instead."""
-    sh = _maybe_persist(simhash(docs, SIMHASH_BITS, id_col, text_col), cache_simhash)
     layout = simhash_chunk_layout(max_hamming)
+    if strategy == "auto":
+        # parquet-metadata count: the gate is doc cardinality (the broadcast
+        # is one small row per doc), the same decision a broadcast join makes
+        strategy = "broadcast" if docs.count() <= broadcast_max_docs else "join"
+    if strategy == "broadcast":
+        return _simhash_pairs_broadcast(
+            simhash_kernel(docs, SIMHASH_BITS, id_col, text_col),
+            max_hamming,
+            layout,
+        )
+    if strategy != "join":
+        raise ValueError(f"strategy must be auto|broadcast|join, got {strategy!r}")
+    sh = _maybe_persist(simhash(docs, SIMHASH_BITS, id_col, text_col), cache_simhash)
     chunks = sh.select(
         "doc_id",
         "simhash",

@@ -106,6 +106,70 @@ def test_simhash_near_dups(docs):
 
 
 @pytest.fixture()
+def wide_docs(spark):
+    """Corpus with dup clusters, unique docs, and short docs — enough
+    structure that the broadcast/join strategy twins must agree on a
+    non-trivial pair set (shared shingles, varied set sizes, hamming ties)."""
+    rng = np.random.default_rng(7)
+    vocab = "alpha bravo charlie delta echo foxtrot golf hotel india juliett".split()
+    rows = []
+    for i in range(60):
+        base = i % 12  # 12 clusters of 5 near-dup docs
+        words = [vocab[(base * 3 + j) % len(vocab)] for j in range(12)]
+        if i % 5:  # mutate non-representative docs a little
+            k = int(rng.integers(0, len(words)))
+            words[k] = vocab[int(rng.integers(0, len(vocab)))]
+        rows.append((i, " ".join(words)))
+    rows.append((100, "zulu"))  # shorter than any shingle window
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingle_jaccard_strategies_identical(wide_docs):
+    """The broadcast incidence kernel must emit EXACTLY the join path's
+    rows — same pairs, bit-identical jaccard doubles."""
+    from pysatl_cpd_spark.operators.dedup import shingle_jaccard_pairs
+
+    join_rows = sorted(
+        map(tuple, shingle_jaccard_pairs(
+            wide_docs, n=3, threshold=0.5, strategy="join", cache_shingles=False
+        ).collect())
+    )
+    bc_rows = sorted(
+        map(tuple, shingle_jaccard_pairs(
+            wide_docs, n=3, threshold=0.5, strategy="broadcast", cache_shingles=False
+        ).collect())
+    )
+    assert join_rows == bc_rows and len(join_rows) > 10
+
+
+def test_simhash_strategies_identical(wide_docs):
+    """Broadcast candidate kernel == blocked self-join: same pair set, same
+    hamming values (including the numpy SWAR popcount and the numpy
+    bit-count aggregation twin of the 120-column expression aggregate)."""
+    join_rows = sorted(
+        map(tuple, simhash_near_dups(
+            wide_docs, max_hamming=6, strategy="join", cache_simhash=False
+        ).collect())
+    )
+    bc_rows = sorted(
+        map(tuple, simhash_near_dups(
+            wide_docs, max_hamming=6, strategy="broadcast", cache_simhash=False
+        ).collect())
+    )
+    assert join_rows == bc_rows and len(join_rows) > 10
+
+
+def test_simhash_kernel_matches_expression_aggregate(wide_docs):
+    """simhash_kernel (numpy bit counting) is bit-identical to the
+    120-aggregate expression form across the whole fixture corpus."""
+    from pysatl_cpd_spark.operators.dedup import SIMHASH_BITS, simhash, simhash_kernel
+
+    expr = sorted(map(tuple, simhash(wide_docs, SIMHASH_BITS).collect()))
+    kern = sorted(map(tuple, simhash_kernel(wide_docs, SIMHASH_BITS).collect()))
+    assert expr == kern
+
+
+@pytest.fixture()
 def vectors(spark):
     rng = np.random.default_rng(0)
     base = rng.normal(size=(20, 8)).astype(np.float32)
