@@ -93,9 +93,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    # filter orders through the (tiny) customer broadcast BEFORE broadcasting
+    # the orders side into the lineitem probe: the build side shrinks ~5x
+    # (only BUILDING-segment orders), so the expensive broadcast hash
+    # relation is built over ~1/5 the rows and the lineitem scan still never
+    # shuffles. Inner joins commute — identical result.
+    filt_orders = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(F.broadcast(filt_orders), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(rev) / 10000.0).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -800,19 +807,26 @@ def gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec invariant surfaced to the oracle: encode each per-user value
     series to Gorilla blobs, decode, re-aggregate — must equal the direct SQL
     aggregates (count/min/max/first/last are exact under a lossless codec)."""
-    from pysatl_cpd_spark.operators.segments import decode_segments, encode_segments
+    from pysatl_cpd_spark.operators.segments import roundtrip_summaries
     from pysatl_cpd_spark.operators.series import events_series
 
     series = events_series(_t(spark, sf_dir, "events")).withColumn(
         "segment_id", F.lit(0).cast("long")
     )
-    decoded = decode_segments(encode_segments(series))
-    return decoded.groupBy("series_id").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-        F.min_by("value", "t").alias("first_value"),
-        F.max_by("value", "t").alias("last_value"),
+    # fused encode->decode->summarize (roundtrip_summaries): the same codec
+    # calls as decode_segments(encode_segments(...)), computed from the
+    # DECODED arrays, without shipping every raw point back through Arrow
+    # between the stages. Per-series combine of the per-segment rows is
+    # exact: the segment holding the globally-smallest t has t_min == that
+    # t, so min_by(first_value, t_min) == min_by(value, t) (t unique per
+    # series), and dually for last.
+    summaries = roundtrip_summaries(series)
+    return summaries.groupBy("series_id").agg(
+        F.sum("n_points").cast("long").alias("n_points"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.min_by("first_value", "t_min").alias("first_value"),
+        F.max_by("last_value", "t_max").alias("last_value"),
     )
 
 
@@ -1078,17 +1092,33 @@ def _event_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_series(_t(spark, sf_dir, "events"))
 
 
+def _event_series_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series frame for the zero-exchange detect dispatches: the explicit
+    repartition under the rank window is the ONE shuffle of the whole
+    detect pipeline (the window reuses it, detection adds none) and
+    guarantees every partition holds complete series. Same rows as
+    ``_event_series``."""
+    from pysatl_cpd_spark.operators.series import events_series
+
+    return events_series(
+        _t(spark, sf_dir, "events"),
+        colocate=spark.sparkContext.defaultParallelism,
+    )
+
+
 def cpd_bocpd_offline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.detectors.lockstep_offline import (
         LockstepBayesianOffline,
     )
-    from pysatl_cpd_spark.operators.cpd import detect_offline_lockstep
+    from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
 
     # batched offline-BOCPD kernel — bit-identical to the sequential
     # BayesianOffline(learning_steps=20) (tests/test_lockstep_offline.py),
-    # 1.8-2.4x per core at this series shape
-    return detect_offline_lockstep(
-        _event_series(spark, sf_dir),
+    # 1.8-2.4x per core at this series shape. Colocated dispatch over the
+    # explicitly-repartitioned series: the detect stage reuses the window's
+    # one shuffle instead of paying a second salt-bucket exchange.
+    return detect_lockstep_colocated(
+        _event_series_colocated(spark, sf_dir),
         lambda: LockstepBayesianOffline(learning_steps=20),
     )
 
@@ -1118,7 +1148,7 @@ def cpd_bocpd_offline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cpd_bocpd_online(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
-    from pysatl_cpd_spark.operators.cpd import detect_online_lockstep
+    from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
 
     # LOCKSTEP kernel on the contract path: bare mode + pinned Gaussian is
     # bit-identical to BayesianOnlineDetector(ConstantHazard, GaussianConjugate,
@@ -1134,19 +1164,17 @@ def cpd_bocpd_online(spark: SparkSession, sf_dir: str) -> DataFrame:
         model="gauss",
         bare=True,
     )
-    # one bucket per core slot: at sf0.1/local[32] that is ~47 complete
-    # series per lockstep batch (full amortization) while the sf0.01
-    # correctness gate only cares about output, not batch size
-    return detect_online_lockstep(
-        _event_series(spark, sf_dir),
-        factory,
-        n_buckets=spark.sparkContext.defaultParallelism,
+    # colocated dispatch: the window's explicit repartition is the one
+    # shuffle; detection streams each partition's complete series with no
+    # salt-bucket exchange (output identical — kernel lanes independent)
+    return detect_lockstep_colocated(
+        _event_series_colocated(spark, sf_dir), factory
     )
 
 
 def cpd_linear_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.detectors.lockstep import LockstepLinearBOCPD
-    from pysatl_cpd_spark.operators.cpd import detect_online_lockstep
+    from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
 
     # contract params picked for NONZERO output at the driver's sf0.01 gate
     # (hazard 50, learning 10 → 13 detections over the 150 event series);
@@ -1160,21 +1188,22 @@ def cpd_linear_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     factory = lambda: LockstepLinearBOCPD(  # noqa: E731
         50.0, 10, 0.04, 500, 250
     )
-    return detect_online_lockstep(
-        _event_series(spark, sf_dir),
-        factory,
-        n_buckets=spark.sparkContext.defaultParallelism,
+    # colocated dispatch: one shuffle total (see cpd_bocpd_online)
+    return detect_lockstep_colocated(
+        _event_series_colocated(spark, sf_dir), factory
     )
 
 
 def cpd_cusum_localized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysatl_cpd_spark.detectors import LockstepCusum
-    from pysatl_cpd_spark.operators.cpd import detect_offline_lockstep
+    from pysatl_cpd_spark.operators.cpd import detect_lockstep_colocated
 
     # batched CUSUM kernel — bit-identical to the sequential CusumDetector
-    # (tests/test_lockstep_cusum.py), ~3x per core at this series shape
-    return detect_offline_lockstep(
-        _event_series(spark, sf_dir), lambda: LockstepCusum(k=2.0, h=20.0)
+    # (tests/test_lockstep_cusum.py), ~3x per core at this series shape.
+    # Colocated dispatch: one shuffle total (see cpd_bocpd_online).
+    return detect_lockstep_colocated(
+        _event_series_colocated(spark, sf_dir),
+        lambda: LockstepCusum(k=2.0, h=20.0),
     )
 
 

@@ -290,6 +290,85 @@ def encode_segments_colocated(
     return joined.mapInArrow(run, schema)
 
 
+def roundtrip_summaries(segmented: DataFrame, bundles: int | None = None) -> DataFrame:
+    """Fused encode -> decode -> per-segment summary for codec-verification
+    queries (gorilla_roundtrip): each segment is Gorilla-encoded and the BLOB
+    is immediately decoded back, with the summary computed from the DECODED
+    arrays — the same encode_segment/decode_segment calls the two-stage
+    operator chain makes, minus the Arrow round-trip of every raw point back
+    to the JVM between the stages and the second shuffle (measured ~1 s of
+    pure serde at 1M points / 15k series). Output: one row per segment
+    (series_id, segment_id, n_points, t_min, t_max, min/max/first/last of
+    the decoded values); callers combine per series with sum/min/max +
+    struct-extreme semantics."""
+    from pysatl_cpd_spark.operators.gorilla import decode_batch
+
+    if bundles is None:
+        bundles = 2 * segmented.sparkSession.sparkContext.defaultParallelism
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["series_id", "segment_id", "t"], kind="mergesort")
+        sids = pdf["series_id"].to_numpy()
+        segs = pdf["segment_id"].to_numpy(dtype=np.int64)
+        ts = pdf["t"].to_numpy(dtype=np.int64)
+        values = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(sids)
+        out = {k: [] for k in (
+            "series_id", "segment_id", "n_points", "t_min", "t_max",
+            "min_value", "max_value", "first_value", "last_value",
+        )}
+        if n:
+            new_grp = np.empty(n, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = (sids[1:] != sids[:-1]) | (segs[1:] != segs[:-1])
+            bounds = np.flatnonzero(new_grp[1:]) + 1
+            los = np.concatenate([[0], bounds])
+            his = np.concatenate([bounds, [n]])
+            # encode every segment, then ONE vectorized decode_batch pass:
+            # per-blob decode_segment costs ~2.8 ms of anchor setup while
+            # decode_batch amortizes it to ~0.05 ms/blob (measured)
+            blobs = [
+                encode_segment(ts[lo:hi], values[lo:hi])
+                for lo, hi in zip(los, his)
+            ]
+            for lo, (dts, dvals) in zip(los, decode_batch(blobs)):
+                out["series_id"].append(sids[lo])
+                out["segment_id"].append(int(segs[lo]))
+                out["n_points"].append(int(dts.shape[0]))
+                out["t_min"].append(int(dts[0]))
+                out["t_max"].append(int(dts[-1]))
+                out["min_value"].append(float(np.min(dvals)))
+                out["max_value"].append(float(np.max(dvals)))
+                out["first_value"].append(float(dvals[0]))
+                out["last_value"].append(float(dvals[-1]))
+        res = pd.DataFrame(out)
+        if not out["series_id"]:  # typed empty frame for Arrow
+            for c, dt in (
+                ("segment_id", "int64"), ("n_points", "int64"),
+                ("t_min", "int64"), ("t_max", "int64"),
+                ("min_value", "float64"), ("max_value", "float64"),
+                ("first_value", "float64"), ("last_value", "float64"),
+            ):
+                res[c] = res[c].astype(dt)
+        return res
+
+    pruned = (
+        segmented.select("series_id", "segment_id", "t", "value")
+        .withColumn(
+            "bundle",
+            F.pmod(F.xxhash64("series_id", "segment_id"), F.lit(bundles)),
+        )
+        # explicit repartition: exempt from AQE byte-coalescing (cpd._bucketed)
+        .repartition(bundles, "bundle")
+    )
+    return pruned.groupBy("bundle").applyInPandas(
+        run,
+        "series_id string, segment_id long, n_points long, t_min long, "
+        "t_max long, min_value double, max_value double, "
+        "first_value double, last_value double",
+    )
+
+
 def compact_segments(encoded: DataFrame, min_points: int = 4096) -> DataFrame:
     """Blob maintenance (the Gorilla paper's block-merge): adjacent segments
     of a series whose point counts fall below ``min_points`` are decoded,

@@ -10,19 +10,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
-def events_series(events: DataFrame, value_col: str = "value") -> DataFrame:
+def events_series(
+    events: DataFrame, value_col: str = "value", colocate: int | None = None
+) -> DataFrame:
     """events(event_id, ts, user_id, ...) → (series_id, t, value) ordered per
     user; t is the per-user 0-based position by (ts, event_id).
 
     The row_number window partitions by the *cast* key so the downstream
     groupBy(series_id).applyInPandas reuses the same hash partitioning —
-    one shuffle for the whole detect pipeline instead of two."""
+    one shuffle for the whole detect pipeline instead of two.
+
+    ``colocate=n`` puts an EXPLICIT ``repartition(n, series_id)`` under the
+    window instead of the window's own ENSURE_REQUIREMENTS exchange: the
+    same single shuffle, but (a) user-specified, so AQE's byte-based
+    coalescing cannot merge the small-but-Python-heavy partitions down to a
+    handful, and (b) a co-location guarantee — every partition holds only
+    complete series — so the zero-exchange colocated detectors
+    (detect_lockstep_colocated) can consume the result with no second
+    shuffle and no salt bucketing. Values are identical either way."""
     keyed = events.select(
         F.col("user_id").cast("string").alias("series_id"),
         "ts",
         "event_id",
         F.col(value_col).cast("double").alias("value"),
     )
+    if colocate is not None:
+        keyed = keyed.repartition(colocate, "series_id")
     w = W.partitionBy("series_id").orderBy("ts", "event_id")
     return keyed.select(
         "series_id",

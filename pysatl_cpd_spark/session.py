@@ -103,6 +103,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan-split size, parameterised (guide: big sequential scans on a
+        # cluster want 512m-1g to cut task overhead; these local test tables
+        # are single files of 5-130 MB with 1-6 row groups, where the 128m
+        # default leaves a 6M-row lineitem scan+partial-agg on TWO cores —
+        # 16m yields row-group-level parallelism; a row group here is ~20 MB,
+        # so this cannot produce degenerate micro-splits)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -120,7 +120,16 @@ def synthesize_transcripts(
     other column is bit-identical either way (pinned by test).
     """
     if partitions is None:
-        partitions = min(max(n_conversations // 4, 1), 256)
+        # cap at 2x session parallelism instead of a flat 256: each
+        # mapInPandas task pays ~3-4 ms of Arrow-stream setup, so hundreds
+        # of 20-conversation tasks cost more in per-task overhead than the
+        # generation itself (measured 1.86 s at 256 partitions vs 0.94 s at
+        # 32 for 6000x400 turns); 2x parallelism keeps full occupancy with
+        # amortized batches at any cluster size
+        partitions = min(
+            max(n_conversations // 4, 1),
+            2 * spark.sparkContext.defaultParallelism,
+        )
     idx = spark.range(n_conversations).repartition(partitions, "id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
