@@ -87,16 +87,24 @@ def _fan_out(docs: DataFrame) -> DataFrame:
     return docs.repartition(target)
 
 
-def _normalized_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, token) distinct word tokens of the normalized text."""
+def _normalized_tokens(
+    docs: DataFrame, id_col: str, text_col: str, distinct: bool = True
+) -> DataFrame:
+    """(id, token) word tokens of the normalized text, distinct by default.
+
+    ``distinct=False`` skips the global dedup exchange for consumers that
+    dedupe themselves: the explode is doc-local (and ``_fan_out``'s
+    round-robin moves whole doc rows), so every duplicate of a (doc, token)
+    pair lives in the same partition and a downstream per-partition kernel
+    sees all copies together."""
     squeezed = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return (
+    out = (
         _fan_out(docs)
         .select(F.col(id_col).alias("doc_id"), F.split(squeezed, " ").alias("toks"))
         .select("doc_id", F.explode("toks").alias("token"))
         .filter(F.length("token") > 0)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -229,18 +237,32 @@ def shingle_jaccard_pairs(
     # join on the portable 60-bit md5 hash of the shingle, not the string:
     # an 8-byte shuffle key instead of a ~20-byte string. The SQL oracle
     # hashes identically, so even the (~1e-7) collision behavior matches.
-    sh = _maybe_persist(
-        shingles(docs, n, id_col, text_col)
-        .select("doc_id", token_hash64(F.col("shingle")).alias("sh"))
-        .distinct(),
-        cache_shingles,  # 3 plan references (a, b, sizes)
+    #
+    # The incidence table is built NON-distinct first: (doc, shingle)
+    # duplicates can only occur inside one document, and the explode that
+    # generates shingles is doc-local, so every duplicate lives in the same
+    # scan partition — the global ``.distinct()`` exchange buys nothing the
+    # broadcast kernel's own exact (doc, hash) dedupe (np.unique over the
+    # packed pairs) doesn't already do. Only the join path, whose self-join
+    # multiplies duplicates into wrong intersection counts, pays the
+    # distinct. Gating on the RAW row count is the right bound anyway: the
+    # collect ships raw rows, so raw <= broadcast_max_rows is the faithful
+    # build-side size gate (and raw >= distinct keeps it conservative).
+    raw = shingles(docs, n, id_col, text_col, distinct=False).select(
+        "doc_id", token_hash64(F.col("shingle")).alias("sh")
     )
+    if strategy in ("auto", "broadcast"):
+        raw = _maybe_persist(raw, cache_shingles)  # count + collect read it
     if strategy == "auto":
-        strategy = "broadcast" if sh.count() <= broadcast_max_rows else "join"
+        strategy = "broadcast" if raw.count() <= broadcast_max_rows else "join"
     if strategy == "broadcast":
-        return _jaccard_pairs_broadcast(sh, threshold)
+        return _jaccard_pairs_broadcast(raw, threshold)
     if strategy != "join":
         raise ValueError(f"strategy must be auto|broadcast|join, got {strategy!r}")
+    sh = _maybe_persist(
+        raw.distinct(),
+        cache_shingles,  # 3 plan references (a, b, sizes)
+    )
     # attach each doc's set size to its shingle rows (sizes is one row per
     # doc — broadcast, no corpus-side shuffle) so that
     # (1) the self-join can prune size-incompatible pairs BEFORE the pair
@@ -668,27 +690,36 @@ def simhash_kernel(
     """Numpy twin of ``simhash``: same distinct-token table, same md5-derived
     per-token hashes (computed JVM-side, so the oracle-portable hash law is
     untouched), but the per-(doc, bit) counting + sign-packing runs
-    vectorized in one mapInArrow pass after a repartition by doc. Exact same
-    integers out (parity-pinned in tests). Exists because the expression
-    form generates a 120-aggregate whole-stage-codegen function whose JANINO
-    COMPILE dominates a cold run (measured ~6 s compile vs 0.6 s execution
-    at sf1.0) — the kernel's plan is tiny and compiles in milliseconds."""
+    vectorized in one mapInArrow pass. Exact same integers out
+    (parity-pinned in tests). Exists because the expression form generates
+    a 120-aggregate whole-stage-codegen function whose JANINO COMPILE
+    dominates a cold run (measured ~6 s compile vs 0.6 s execution at
+    sf1.0) — the kernel's plan is tiny and compiles in milliseconds.
+
+    ZERO-EXCHANGE (round 9): the token explode is doc-local, so the
+    per-doc token dedup and bit counting run per partition with no
+    ``distinct`` exchange and no repartition — the kernel dedupes
+    (doc, h, h2) itself. Deduping on the 120-bit hash pair instead of the
+    token string diverges only if two DISTINCT tokens of one doc collide
+    in BOTH md5-derived 60-bit halves at once (~2^-120 per pair — far
+    below the 60-bit shingle-hash-join collision bound the engine already
+    accepts as oracle-identical). ``n_parts`` is kept for API
+    compatibility; parallelism comes from the doc fan-out."""
     import numpy as np
     import pyarrow as pa
 
     if bits <= 60 or bits > SIMHASH_BITS:
         raise ValueError("simhash_kernel supports 60 < bits <= 120")
     nbits = bits
-    if n_parts is None:
-        n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    toks = _normalized_tokens(docs, id_col, text_col)
+    del n_parts  # no repartition: doc-local input, per-partition kernel
+    toks = _normalized_tokens(docs, id_col, text_col, distinct=False)
     hashed = toks.select(
         "doc_id",
         token_hash64(F.col("token")).alias("h"),
         F.conv(F.substring(F.md5(F.col("token")), 16, 15), 16, 10)
         .cast("long")
         .alias("h2"),
-    ).repartition(n_parts, "doc_id")
+    )
 
     lo_shifts = np.arange(60, dtype=np.int64)
     hi_shifts = np.arange(nbits - 60, dtype=np.int64)
@@ -705,8 +736,17 @@ def simhash_kernel(
         doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
         h = tbl.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
         h2 = tbl.column("h2").to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(doc, kind="stable")
+        order = np.lexsort((h2, h, doc))
         doc, h, h2 = doc[order], h[order], h2[order]
+        # per-doc token dedup on the 120-bit pair (sorted, so duplicates
+        # are adjacent) — the distinct the expression form pays a shuffle
+        # for, done in-partition (input is doc-local)
+        keep = np.empty(doc.shape[0], dtype=bool)
+        keep[0] = True
+        keep[1:] = (
+            (doc[1:] != doc[:-1]) | (h[1:] != h[:-1]) | (h2[1:] != h2[:-1])
+        )
+        doc, h, h2 = doc[keep], h[keep], h2[keep]
         docs_u, counts = np.unique(doc, return_counts=True)
         starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
         bits_lo = (h[:, None] >> lo_shifts) & 1

@@ -3,7 +3,7 @@
 The engine's target input shape (BASELINE.json input_hint) is an Iceberg
 table of multi-turn transcripts. This container ships no Iceberg runtime jar
 (and has no network to fetch one — DNS resolution to repo1.maven.org/pypi
-re-probed and still blocked in rounds 4, 5, 6, 7 and 8), so the Iceberg branch is
+re-probed and still blocked in rounds 4, 5, 6, 7, 8 and 9), so the Iceberg branch is
 env-gated the same way real deployments gate it: it activates when the
 session has an Iceberg-capable catalog configured (``ICEBERG_SUBMIT_CONF``
 below is the spark-submit recipe). Everything downstream of this module consumes plain
@@ -129,9 +129,23 @@ def write_bucketed_series_coded(
 
     ``dim_path``: parquet location for the dim table (defaults to
     ``<path>_dim`` when ``path`` is given, else a managed table
-    ``<table_name>_dim``)."""
+    ``<table_name>_dim``).
+
+    Only ``mode="overwrite"`` is supported (round-8 advice): an append
+    would re-factorize codes from the NEW batch alone — its code 0 is the
+    batch's first sorted key, colliding with codes already stored in the
+    points table — and destroy the persisted dim mapping: exactly the
+    silent series-merge corruption this module exists to prevent. Append
+    ingest needs the dim extended from the PERSISTED mapping (new keys get
+    codes after the existing max); until that exists, fail loudly."""
     from pysatl_cpd_spark.operators.keycompact import series_key_dim
 
+    if mode != "overwrite":
+        raise ValueError(
+            "write_bucketed_series_coded supports only mode='overwrite': "
+            f"mode={mode!r} would re-factorize codes from the incoming "
+            "batch and corrupt the stored code space (see docstring)"
+        )
     spark = df.sparkSession
     dim = series_key_dim(df)
     coded = df.join(F.broadcast(dim), "series_id").select(

@@ -217,3 +217,22 @@ def test_bucketed_coded_table_feeds_long_key_colocated(spark, tmp_path):
         for r in detect_online_lockstep(series, fac, n_buckets=4).collect()
     }
     assert got == want and got
+
+
+def test_bucketed_coded_write_rejects_append(spark, tmp_path):
+    """mode='append' would re-factorize codes from the new batch alone
+    (its code 0 = the batch's first sorted key, colliding with stored
+    codes) and clobber the persisted dim — the writer must refuse loudly
+    instead of corrupting the code space (round-8 advice)."""
+    import pytest
+
+    from pysatl_cpd_spark.sources.catalog import write_bucketed_series_coded
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0)], "series_id string, t long, value double"
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        write_bucketed_series_coded(
+            df, "series_coded_append_t", n_buckets=2, mode="append",
+            path=str(tmp_path / "coded_append"),
+        )

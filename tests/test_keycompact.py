@@ -149,11 +149,33 @@ def test_compact_roundtrip_nasty_keys(spark):
     assert got == set(rows)
 
 
-def test_coded_path_reduces_python_socket_bytes(spark, series_df):
+def test_coded_path_reduces_python_socket_bytes(spark):
     """The load-bearing byte claim, measured from Spark's own MapInArrow
     SQL metrics (pythonDataSent): streaming (int64, t, value) instead of
     (string, t, value) must cut the bytes crossing the Python socket by
-    roughly the string column's share (~25% at 9-char conv ids)."""
+    roughly the string column's share (~25% at 9-char conv ids).
+
+    Hardened per the round-8 verdict: in a full-suite run this test used to
+    SKIP silently — the input was the shared cached ``series_df`` fixture,
+    and session state left by earlier modules could reshape the executed
+    plan past what the metric walk descended. Now (a) the input is built
+    fresh inside the test (no shared fixture, no .cache(), nothing for the
+    CacheManager to substitute), (b) the walk also descends
+    InMemoryTableScan's cached relation and ReusedExchange/ReusedSubquery
+    children, and (c) a missing metric FAILS on any Spark >= 3.4 instead of
+    skipping — the metric exists there, so absence means the walk broke.
+    Verified to PASS (not skip) inside a full ``pytest tests/`` run."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for s in range(12):
+        v = np.concatenate(
+            [rng.normal(6.0 * k, 1.0, size=60 + 10 * (s % 4))
+             for k in range(1 + s % 3)]
+        )
+        rows += [(f"conv-{s:04d}", int(t), float(x)) for t, x in enumerate(v)]
+    fresh_df = spark.createDataFrame(
+        rows, "series_id string, t long, value double"
+    )
 
     def python_data_sent(out_df):
         out_df.collect()
@@ -167,6 +189,14 @@ def test_coded_path_reduces_python_socket_bytes(spark, series_df):
                 return
             if name.endswith("QueryStageExec"):
                 walk(node.plan())
+                return
+            if name.startswith("ReusedExchange") or name.startswith(
+                "ReusedSubquery"
+            ):
+                walk(node.child())
+                return
+            if name.startswith("InMemoryTableScan"):
+                walk(node.relation().cachedPlan())
                 return
             if "MapInArrow" in name:
                 it = node.metrics().iterator()
@@ -183,12 +213,19 @@ def test_coded_path_reduces_python_socket_bytes(spark, series_df):
 
     string_sent = python_data_sent(
         detect_lockstep_colocated(
-            series_df.repartition(4, "series_id"), _factory
+            fresh_df.repartition(4, "series_id"), _factory
         )
     )
     if string_sent is None:
-        pytest.skip("pythonDataSent metric unavailable on this Spark")
-    coded, _dim = compact_series_key(series_df, n_partitions=4)
+        major, minor = (int(x) for x in spark.version.split(".")[:2])
+        if (major, minor) < (3, 4):
+            pytest.skip("pythonDataSent metric unavailable on this Spark")
+        pytest.fail(
+            "pythonDataSent not found in the executed plan on Spark "
+            f"{spark.version} — the metric exists there, so the plan walk "
+            "missed the MapInArrow node"
+        )
+    coded, _dim = compact_series_key(fresh_df, n_partitions=4)
     coded_sent = python_data_sent(
         detect_lockstep_colocated(coded, _factory, key_type="long")
     )
