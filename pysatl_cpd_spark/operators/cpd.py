@@ -776,7 +776,21 @@ def chunk_series(
     """Split each series into overlapping chunks for hot-key (skew) handling:
     chunk c covers dense positions [c*(chunk_size-overlap), ... + chunk_size).
     Group key becomes (series_id, chunk_id) so a 10^6-turn conversation fans
-    out over many tasks instead of pinning one."""
+    out over many tasks instead of pinning one.
+
+    WHEN TO CHUNK (measured crossover, scripts/chunk_crossover.py, BENCH.md
+    round-9 table, local[32], chunk_size=200k/overlap=2k, rare-alarm CUSUM):
+    the single colocated lane wins below ~250k points (0.36 s vs 0.48 s —
+    the explode+shuffle overhead exceeds the fan-out gain), the arms cross
+    between 250k and 500k (0.94 vs 0.78 at 500k), and past ~1M the chunked
+    path wins outright and increasingly (3.1 vs 1.4 s at 1M; 54.8 vs 4.1 s
+    at 4M — restart-style detectors like CUSUM rescan the remaining tail on
+    every alarm, so an unchunked lane goes superlinear while chunking also
+    BOUNDS each rescan to one chunk). Rule of thumb: chunk any series
+    longer than ~2x chunk_size when idle cores exist. CAVEAT: the overlap
+    must cover the detector's horizon (CUSUM learning window, BOCPD
+    learn+prep) or seam detections diverge from the unchunked run —
+    correctness at seams is pinned in tests/test_skew.py."""
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     step = chunk_size - overlap
